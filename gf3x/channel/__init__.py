@@ -1,0 +1,21 @@
+from .sims import (
+    awgn,
+    delay_gain,
+    multipath,
+    room_impulse_response,
+    clip,
+    resample_sfo,
+    Impairment,
+    Chain,
+)
+
+__all__ = [
+    "awgn",
+    "delay_gain",
+    "multipath",
+    "room_impulse_response",
+    "clip",
+    "resample_sfo",
+    "Impairment",
+    "Chain",
+]

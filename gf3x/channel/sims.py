@@ -1,0 +1,116 @@
+"""Channel simulators — the modem-domain fault-injection library.
+
+The reference evaluates over an ideal loopback, a delayed/gained WAV, AWGN,
+and a simulated multipath room channel (BASELINE.json:7-9); these stand in
+for the physical speaker–air–microphone channel in every test (SURVEY.md §5
+"fake backend" analog, §6.3 fault injection).
+
+Host-side NumPy float64 implementations (used by tests, the golden model,
+and fixture generation). Device-side jnp mirrors for on-TPU BER sweeps live
+in `gf3x.channel.jax_sims`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+import numpy as np
+
+__all__ = [
+    "awgn", "delay_gain", "multipath", "room_impulse_response", "clip",
+    "resample_sfo", "Impairment", "Chain",
+]
+
+
+def awgn(x: np.ndarray, snr_db: float, rng: np.random.Generator) -> np.ndarray:
+    """Add white Gaussian noise at the given SNR relative to x's power."""
+    p = np.mean(x ** 2)
+    nvar = p / (10.0 ** (snr_db / 10.0))
+    return x + rng.normal(0.0, np.sqrt(nvar), size=x.shape)
+
+
+def delay_gain(x: np.ndarray, delay: int, gain: float, total_len: int | None = None) -> np.ndarray:
+    """Prepend `delay` zero samples and scale by `gain` (BASELINE.json:8).
+
+    Pads/truncates to `total_len` when given (receiver record length).
+    """
+    y = np.concatenate([np.zeros(delay, dtype=x.dtype), gain * x])
+    if total_len is not None:
+        if len(y) < total_len:
+            y = np.concatenate([y, np.zeros(total_len - len(y), dtype=x.dtype)])
+        else:
+            y = y[:total_len]
+    return y
+
+
+def room_impulse_response(
+    rng: np.random.Generator,
+    fs: int = 44100,
+    rt60: float = 0.03,
+    length: int | None = None,
+    drr_db: float = 6.0,
+) -> np.ndarray:
+    """Synthetic room impulse response: direct path + exponentially decaying
+    Gaussian tail (the genre's "simulated multipath room channel",
+    BASELINE.json:9). `drr_db` is the direct-to-reverberant energy ratio."""
+    if length is None:
+        length = int(rt60 * fs)
+    t = np.arange(length) / fs
+    tail = rng.normal(size=length) * np.exp(-6.9 * t / rt60)  # −60 dB at rt60
+    tail[0] = 0.0
+    te = np.sum(tail ** 2)
+    if te > 0:
+        tail *= np.sqrt(10.0 ** (-drr_db / 10.0) / te)  # direct energy is 1
+    h = tail
+    h[0] = 1.0
+    return h / np.sqrt(np.sum(h ** 2))
+
+
+def multipath(x: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Convolve with an impulse response (full length: len(x)+len(h)−1)."""
+    n = len(x) + len(h) - 1
+    nfft = 1 << int(np.ceil(np.log2(n)))
+    y = np.fft.irfft(np.fft.rfft(x, nfft) * np.fft.rfft(h, nfft), nfft)
+    return y[:n]
+
+
+def clip(x: np.ndarray, limit: float = 1.0) -> np.ndarray:
+    """Hard-clip (speaker/ADC saturation)."""
+    return np.clip(x, -limit, limit)
+
+
+def resample_sfo(x: np.ndarray, ppm: float) -> np.ndarray:
+    """Resample by (1 + ppm·1e-6): sampling-frequency offset between the
+    transmitter DAC and receiver ADC clocks (the acoustic channel's analog
+    of carrier offset — SURVEY.md Appendix "Pilot phase tracking")."""
+    ratio = 1.0 + ppm * 1e-6
+    n_out = int(np.floor((len(x) - 1) / ratio)) + 1
+    t = np.arange(n_out) * ratio
+    i0 = np.floor(t).astype(np.int64)
+    frac = t - i0
+    i1 = np.minimum(i0 + 1, len(x) - 1)
+    return (1.0 - frac) * x[i0] + frac * x[i1]
+
+
+@dataclass
+class Impairment:
+    """A named channel impairment: fn(waveform, rng) → waveform."""
+
+    name: str
+    fn: Callable[[np.ndarray, np.random.Generator], np.ndarray]
+
+    def __call__(self, x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        return self.fn(x, rng)
+
+
+@dataclass
+class Chain:
+    """Composable impairment chain (fault-injection harness, SURVEY.md §6.3)."""
+
+    stages: Sequence[Impairment] = field(default_factory=list)
+
+    def __call__(self, x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        for s in self.stages:
+            x = s(x, rng)
+        return x

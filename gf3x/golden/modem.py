@@ -1,0 +1,346 @@
+"""Golden model: the complete GF3 signal chain in float64 NumPy.
+
+This is the in-repo stand-in for the reference implementation (the reference
+mount was empty — SURVEY.md §0), written FIRST per the build plan
+(SURVEY.md §8 step 1): small, slow, obviously correct. It is the parity
+oracle for the TPU path — `decode(encode(x)) == x` here defines "correct",
+and the JAX modem must produce bit-identical *decoded payloads* (not
+bit-identical floats; SURVEY.md §8 risk "Bit-exactness across float32 TPU
+vs float64 NumPy").
+
+Covers reference layers L0–L7 (SURVEY.md §2) in one deliberately-plain file:
+chirp + Schmidl–Cox sync, OFDM mod/demod, LS channel estimation, one-tap EQ,
+pilot phase tracking, Gray QPSK/QAM map + max-log LLR demap, optional LDPC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..config import Layout, ModemConfig, layout
+from ..utils.bits import bits_to_bytes, bytes_to_bits, pack_header, parse_header
+
+__all__ = ["GoldenModem", "GoldenDecodeResult"]
+
+
+# --------------------------------------------------------------- constellation
+
+def pam_label_levels(m: int) -> np.ndarray:
+    """Gray-coded PAM lookup: label integer ℓ (m bits) → amplitude.
+
+    Level positions idx = 0..M−1 carry amplitudes (M−1)−2·idx (descending,
+    so the all-zeros label lands on the most positive level) and Gray label
+    g = idx ^ (idx>>1). For m=1 this reduces to the canonical 1−2b map
+    (SURVEY.md Appendix "QPSK").
+    """
+    M = 1 << m
+    idx = np.arange(M)
+    gray = idx ^ (idx >> 1)
+    lut = np.empty(M, dtype=np.float64)
+    lut[gray] = (M - 1) - 2 * idx
+    return lut
+
+
+def _qam_norm(bits_per_symbol: int) -> float:
+    """Scale so the square QAM constellation has unit average power.
+
+    Per-axis E[l²] over ±1, ±3, … ±(M−1) is (M²−1)/3; two axes double it.
+    """
+    M = 1 << (bits_per_symbol // 2)
+    return 1.0 / np.sqrt(2.0 * (M * M - 1) / 3.0)
+
+
+def qam_map(bits: np.ndarray, bits_per_symbol: int) -> np.ndarray:
+    """Gray-coded square QAM map. bits: (..., bits_per_symbol) → complex.
+
+    First m bits drive the I axis (MSB-first), last m the Q axis. QPSK case
+    matches SURVEY.md Appendix: (b0,b1) → ((1−2b0) + j(1−2b1))/√2.
+    """
+    m = bits_per_symbol // 2
+    lut = pam_label_levels(m)
+    w = 1 << np.arange(m - 1, -1, -1)
+    b = np.asarray(bits, dtype=np.int64)
+    bi = b[..., :m] @ w
+    bq = b[..., m:] @ w
+    return (lut[bi] + 1j * lut[bq]) * _qam_norm(bits_per_symbol)
+
+
+def qam_demap_llr(y: np.ndarray, noise_var: np.ndarray, bits_per_symbol: int) -> np.ndarray:
+    """Max-log LLRs for Gray square QAM. Positive LLR ⇒ bit 0.
+
+    LLR_j = (min_{bit_j=1}(x−l)² − min_{bit_j=0}(x−l)²) / noise_var, per
+    axis (square QAM is separable). y: (...,) complex equalized symbols;
+    noise_var: broadcastable effective post-EQ noise variance.
+    Returns (..., bits_per_symbol): I-axis bits then Q-axis bits.
+    """
+    m = bits_per_symbol // 2
+    M = 1 << m
+    lv = pam_label_levels(m) * _qam_norm(bits_per_symbol)  # (M,) by label int
+
+    def axis_llr(x: np.ndarray) -> np.ndarray:
+        d = (x[..., None] - lv) ** 2  # (..., M)
+        out = np.empty(x.shape + (m,), dtype=np.float64)
+        for j in range(m):
+            bitj = (np.arange(M) >> (m - 1 - j)) & 1
+            d0 = np.min(np.where(bitj == 0, d, np.inf), axis=-1)
+            d1 = np.min(np.where(bitj == 1, d, np.inf), axis=-1)
+            out[..., j] = d1 - d0
+        return out
+
+    nv = np.maximum(np.asarray(noise_var, dtype=np.float64), 1e-12)
+    lre = axis_llr(np.real(y)) / nv[..., None]
+    lim = axis_llr(np.imag(y)) / nv[..., None]
+    return np.concatenate([lre, lim], axis=-1)
+
+
+# ------------------------------------------------------------------- results
+
+@dataclass
+class GoldenDecodeResult:
+    payload: bytes
+    filename: str
+    crc_ok: bool
+    bits: np.ndarray                      # decoded info bits (pre-header-strip)
+    diag: dict = field(default_factory=dict)
+
+
+# --------------------------------------------------------------------- modem
+
+class GoldenModem:
+    """Float64 NumPy implementation of the full GF3 transceiver (L0–L6)."""
+
+    def __init__(self, cfg: ModemConfig):
+        self.cfg = cfg.validate()
+        self.lay: Layout = layout(cfg)
+        self._ldpc = None
+        if cfg.fec == "ldpc":
+            from ..fec.ldpc import LdpcCode  # lazy: heavy table build
+            self._ldpc = LdpcCode.for_config(cfg)
+
+    # ------------------------------------------------------------- chirp (L4)
+    def make_chirp(self) -> np.ndarray:
+        """Linear chirp with raised-cosine fades (SURVEY.md Appendix)."""
+        c = self.cfg
+        n = c.chirp_len
+        t = np.arange(n, dtype=np.float64) / c.fs
+        T = n / c.fs
+        phase = 2.0 * np.pi * (c.chirp_f0 * t + 0.5 * (c.chirp_f1 - c.chirp_f0) * t * t / T)
+        x = np.sin(phase)
+        nf = max(1, int(round(c.chirp_fade * c.fs)))
+        win = np.ones(n)
+        ramp = 0.5 * (1 - np.cos(np.pi * np.arange(nf) / nf))
+        win[:nf] = ramp
+        win[-nf:] = ramp[::-1]
+        return c.chirp_amplitude * x * win
+
+    def find_frame_start(self, rx: np.ndarray) -> tuple[int, float]:
+        """Chirp matched filter via FFT cross-correlation → (start, peak metric).
+
+        m[n] = Σ_i rx[n+i]·c[i] computed as irfft(rfft(rx)·conj(rfft(c)));
+        frame start = argmax |m| (SURVEY.md Appendix "Chirp sync").
+        """
+        chirp = self.make_chirp()
+        L = int(len(rx) + len(chirp))
+        nfft = 1 << int(np.ceil(np.log2(L)))
+        M = np.fft.irfft(np.fft.rfft(rx, nfft) * np.conj(np.fft.rfft(chirp, nfft)), nfft)
+        mabs = np.abs(M[: len(rx)])
+        peak = int(np.argmax(mabs))
+        # In multipath the strongest correlation tap can be a reflection;
+        # lock to the FIRST arrival: earliest tap within 6 dB of the peak in
+        # the preceding CP-length window (the matched-filter output is the
+        # channel impulse response smeared by the chirp autocorrelation).
+        lo = max(0, peak - self.cfg.cp)
+        win = mabs[lo: peak + 1]
+        first = lo + int(np.argmax(win >= 0.5 * mabs[peak]))
+        metric = float(mabs[peak] / (np.median(mabs) + 1e-12))
+        return first, metric
+
+    def schmidl_cox_metric(self, rx: np.ndarray) -> np.ndarray:
+        """M(d) = |P(d)|² / R(d)² with half-symbol lag (SURVEY.md Appendix)."""
+        half = self.cfg.n_fft // 2
+        prod = rx[:-half] * rx[half:]          # real signal: conj is identity
+        energy = rx[half:] ** 2
+        cs_p = np.concatenate([[0.0], np.cumsum(prod)])
+        cs_r = np.concatenate([[0.0], np.cumsum(energy)])
+        n = len(rx) - self.cfg.n_fft
+        if n <= 0:
+            return np.zeros(0)
+        d = np.arange(n)
+        P = cs_p[d + half] - cs_p[d]
+        R = cs_r[d + half] - cs_r[d]
+        return (P * P) / np.maximum(R * R, 1e-24)
+
+    # -------------------------------------------------------------- OFDM (L3)
+    def ofdm_modulate(self, sym_bins: np.ndarray) -> np.ndarray:
+        """(S, n_used) complex bin values → (S·(N+CP),) real samples."""
+        c, lay = self.cfg, self.lay
+        S = sym_bins.shape[0]
+        spec = np.zeros((S, c.n_bins), dtype=np.complex128)
+        spec[:, lay.used_bins] = sym_bins
+        x = np.fft.irfft(spec, c.n_fft, axis=-1) * c.ofdm_scale
+        with_cp = np.concatenate([x[:, -c.cp:], x], axis=-1)
+        return with_cp.reshape(-1)
+
+    def ofdm_demodulate(self, samples: np.ndarray) -> np.ndarray:
+        """(S·(N+CP),) real samples → (S, n_used) complex bin values."""
+        c, lay = self.cfg, self.lay
+        sym = samples.reshape(-1, c.symbol_len)[:, c.cp:]
+        spec = np.fft.rfft(sym, c.n_fft, axis=-1) / c.ofdm_scale
+        return spec[:, lay.used_bins]
+
+    # ------------------------------------------------------ channel est. (L5)
+    def estimate_channel(self, known_rx: np.ndarray) -> tuple[np.ndarray, float]:
+        """LS estimate Ĥ[k] = mean_r(Y_r[k]/X_r[k]) + scalar noise variance.
+
+        SURVEY.md Appendix "LS channel estimate". noise_var is the residual
+        power of Y − Ĥ·X averaged over bins and repeats (used to scale LLRs).
+        """
+        lay = self.lay
+        ratio = known_rx / lay.known_syms
+        H = ratio.mean(axis=0)
+        resid = known_rx - H[None, :] * lay.known_syms
+        noise_var = float(np.mean(np.abs(resid) ** 2))
+        return H, noise_var
+
+    def equalize(self, data_rx: np.ndarray, H: np.ndarray) -> np.ndarray:
+        """One-tap FD EQ X̂ = Y/Ĥ (SURVEY.md Appendix)."""
+        return data_rx / H[None, :]
+
+    def pilot_phase_correct(self, eq: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Residual phase/timing-drift correction from pilot phase slopes.
+
+        Per data symbol fit ∠(X̂_pilot·p*) ≈ a·k + b (SURVEY.md Appendix
+        "Pilot phase tracking"); slope from adjacent-pilot phase increments
+        (unwrap-free), intercept from the slope-compensated pilot average.
+        Returns (corrected, slope_per_bin a, intercept b).
+        """
+        c, lay = self.cfg, self.lay
+        if c.n_pilots < 2:
+            return eq, np.zeros(eq.shape[0]), np.zeros(eq.shape[0])
+        z = eq[:, lay.pilot_pos] * np.conj(lay.pilot_vals)[None, :]   # (D, P)
+        dk = np.diff(lay.pilot_pos.astype(np.float64))                # (P-1,)
+        inc = z[:, 1:] * np.conj(z[:, :-1])                           # (D, P-1)
+        a = np.angle(np.sum(inc, axis=1)) / float(np.mean(dk))        # rad/bin
+        k = lay.pilot_pos.astype(np.float64)[None, :]
+        b = np.angle(np.sum(z * np.exp(-1j * a[:, None] * k), axis=1))
+        kk = np.arange(c.n_used, dtype=np.float64)[None, :]
+        corr = np.exp(-1j * (a[:, None] * kk + b[:, None]))
+        return eq * corr, a, b
+
+    # ------------------------------------------------------------- frame (L6)
+    def _frame_symbols(self, coded_bits: np.ndarray) -> np.ndarray:
+        """Coded channel bits → (K+D, n_used) bin matrix (known ∥ data)."""
+        c, lay = self.cfg, self.lay
+        assert coded_bits.size == c.raw_bits_per_frame
+        grp = coded_bits.reshape(c.n_data_symbols, c.n_data_bins, c.bits_per_symbol)
+        dsym = qam_map(grp, c.bits_per_symbol)                        # (D, n_data_bins)
+        data = np.zeros((c.n_data_symbols, c.n_used), dtype=np.complex128)
+        data[:, lay.data_pos] = dsym
+        data[:, lay.pilot_pos] = lay.pilot_vals[None, :]
+        return np.concatenate([lay.known_syms.astype(np.complex128), data], axis=0)
+
+    def _channel_bits(self, info_bits: np.ndarray) -> np.ndarray:
+        """Info bits (payload_bits_per_frame) → channel bits (raw_bits_per_frame)."""
+        c = self.cfg
+        assert info_bits.size == c.payload_bits_per_frame
+        if c.fec == "ldpc":
+            u = info_bits.reshape(c.n_codewords, c.ldpc_k)
+            coded = self._ldpc.encode(u).reshape(-1)
+            pad = np.zeros(c.raw_bits_per_frame - coded.size, dtype=np.uint8)
+            return np.concatenate([coded, pad])
+        return info_bits.astype(np.uint8)
+
+    # --------------------------------------------------------- public API (L6)
+    def encode(self, payload: bytes, filename: str = "") -> np.ndarray:
+        """bytes → real float64 waveform (BASELINE.json:5 public API)."""
+        c = self.cfg
+        stream = pack_header(payload, filename)
+        bits = bytes_to_bits(stream)
+        cap = c.payload_bits_per_frame
+        if bits.size > cap:
+            raise ValueError(
+                f"payload needs {bits.size} info bits; frame carries {cap} "
+                f"(≤ {cap // 8} bytes incl. header)"
+            )
+        info = np.zeros(cap, dtype=np.uint8)
+        info[: bits.size] = bits
+        coded = self._channel_bits(info)
+        syms = self._frame_symbols(coded)
+        ofdm = self.ofdm_modulate(syms)
+        parts = [self.make_chirp()]
+        if c.use_schmidl_cox:
+            parts.append(self.ofdm_modulate(self.lay.sc_sym[None, :]))
+        parts.append(ofdm)
+        wav = np.concatenate(parts)
+        assert wav.size == c.frame_len
+        return wav
+
+    def demod_frame(self, rx: np.ndarray, start: int) -> tuple[np.ndarray, dict]:
+        """Demodulate one frame whose chirp begins at `start` → (LLRs, diag)."""
+        c = self.cfg
+        backoff = c.cp // 4  # start FFT windows inside the CP (SURVEY.md §8)
+        ofdm_start = start + c.preamble_len - backoff
+        n_sym = c.n_known_symbols + c.n_data_symbols
+        need = n_sym * c.symbol_len
+        if ofdm_start < 0 or ofdm_start + need > rx.size:
+            raise ValueError("frame extends past the recording")
+        Y = self.ofdm_demodulate(rx[ofdm_start: ofdm_start + need])
+        H, noise_var = self.estimate_channel(Y[: c.n_known_symbols])
+        eq = self.equalize(Y[c.n_known_symbols:], H)
+        eq, slope, cpe = self.pilot_phase_correct(eq)
+        csi = np.abs(H) ** 2  # (n_used,)
+        nv_eff = noise_var / np.maximum(csi, 1e-12)
+        data = eq[:, self.lay.data_pos]
+        nv = np.broadcast_to(nv_eff[self.lay.data_pos][None, :], data.shape)
+        llr3 = qam_demap_llr(data, nv, c.bits_per_symbol)   # (D, n_data_bins, bps)
+        hard = (llr3 < 0).astype(np.uint8)
+        evm = float(np.mean(np.abs(data - qam_map(hard, c.bits_per_symbol)) ** 2))
+        llr = llr3.reshape(-1)
+        diag = {
+            "H": H, "noise_var": noise_var, "pilot_slope": slope,
+            "common_phase": cpe, "evm": evm,
+        }
+        return llr, diag
+
+    def decode(self, rx: np.ndarray, start: Optional[int] = None) -> GoldenDecodeResult:
+        """waveform → bytes (BASELINE.json:5 public API).
+
+        `start` overrides sync (loopback tests); otherwise chirp matched
+        filtering locates the frame.
+        """
+        c = self.cfg
+        rx = np.asarray(rx, dtype=np.float64)
+        if start is None:
+            start, peak_metric = self.find_frame_start(rx)
+        else:
+            peak_metric = float("inf")
+        try:
+            llr, diag = self.demod_frame(rx, start)
+        except ValueError:
+            # no (complete) frame at the sync position — failed decode, not a crash
+            return GoldenDecodeResult(
+                payload=b"", filename="", crc_ok=False,
+                bits=np.zeros(0, dtype=np.uint8),
+                diag={"sync_start": start, "sync_peak_metric": peak_metric,
+                      "error": "frame extends past the recording"},
+            )
+        diag["sync_start"] = start
+        diag["sync_peak_metric"] = peak_metric
+        if c.fec == "ldpc":
+            used = c.n_codewords * c.ldpc_n
+            lw = llr[:used].reshape(c.n_codewords, c.ldpc_n)
+            info_bits, iters = self._ldpc.decode(lw, c.ldpc_iters)
+            bits = info_bits.reshape(-1)
+            diag["ldpc_iters"] = iters
+        else:
+            bits = (llr < 0).astype(np.uint8)
+        stream = bits_to_bytes(bits)
+        try:
+            payload, name, crc_ok = parse_header(stream)
+        except ValueError:
+            payload, name, crc_ok = b"", "", False
+        return GoldenDecodeResult(payload=payload, filename=name, crc_ok=crc_ok,
+                                  bits=bits, diag=diag)

@@ -1,0 +1,81 @@
+"""Bit layer: bytes↔bits packing and the payload header.
+
+Reference layer L1 (SURVEY.md §2): bytes↔bits, payload header carrying
+filename/length, padding. These run on the host (tiny, O(payload) work) —
+the device path operates on the resulting bit arrays.
+
+Header wire format (little-endian), GF3X v1:
+
+    magic   2B  b"G3"
+    version 1B  0x01
+    length  4B  payload byte count
+    crc32   4B  zlib CRC-32 of the payload bytes
+    nameln  1B  filename length (0..255)
+    name    nameln bytes (UTF-8)
+
+The CRC lets the receiver validate recovery without the transmitter's bytes
+(the genre's decode-parity check, BASELINE.json:5) and disambiguates padding.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+MAGIC = b"G3"
+VERSION = 1
+#: header bytes excluding the variable-length filename
+HEADER_OVERHEAD = 12
+
+
+def bytes_to_bits(data: bytes | np.ndarray) -> np.ndarray:
+    """bytes → uint8 bit array, MSB-first within each byte."""
+    arr = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    return np.unpackbits(arr)
+
+
+def bits_to_bytes(bits: np.ndarray) -> bytes:
+    """uint8/bool bit array (MSB-first) → bytes; length truncated to whole bytes."""
+    bits = np.asarray(bits).astype(np.uint8).ravel()
+    bits = bits[: (len(bits) // 8) * 8]
+    return np.packbits(bits).tobytes()
+
+
+def pack_header(payload: bytes, filename: str = "") -> bytes:
+    """Prepend the GF3X v1 header to `payload`."""
+    name = filename.encode("utf-8")
+    if len(name) > 255:
+        raise ValueError("filename longer than 255 bytes")
+    crc = zlib.crc32(payload) & 0xFFFFFFFF
+    hdr = (
+        MAGIC
+        + bytes([VERSION])
+        + len(payload).to_bytes(4, "little")
+        + crc.to_bytes(4, "little")
+        + bytes([len(name)])
+        + name
+    )
+    return hdr + payload
+
+
+def parse_header(stream: bytes) -> tuple[bytes, str, bool]:
+    """Parse a decoded byte stream → (payload, filename, crc_ok).
+
+    Raises ValueError if the magic/version is wrong or the declared length
+    exceeds the stream (irrecoverable frame).
+    """
+    if len(stream) < HEADER_OVERHEAD or stream[:2] != MAGIC:
+        raise ValueError("bad magic: not a GF3X frame")
+    if stream[2] != VERSION:
+        raise ValueError(f"unsupported header version {stream[2]}")
+    length = int.from_bytes(stream[3:7], "little")
+    crc = int.from_bytes(stream[7:11], "little")
+    nameln = stream[11]
+    off = HEADER_OVERHEAD + nameln
+    if off + length > len(stream):
+        raise ValueError("declared payload length exceeds decoded stream")
+    name = stream[HEADER_OVERHEAD:off].decode("utf-8", errors="replace")
+    payload = stream[off:off + length]
+    crc_ok = (zlib.crc32(payload) & 0xFFFFFFFF) == crc
+    return payload, name, crc_ok
