@@ -1,0 +1,3 @@
+from .modem import Modem, DecodeDiag, DecodeResult
+
+__all__ = ["Modem", "DecodeDiag", "DecodeResult"]

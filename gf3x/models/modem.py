@@ -1,0 +1,244 @@
+"""The TPU-native modem: jitted, batched `encode(bytes)→waveform` /
+`decode(waveform)→bytes` (reference L6 public API, BASELINE.json:5).
+
+Design (SURVEY.md §8): every stage is a pure function of statically-shaped
+arrays; `ModemConfig` is closed over as a static constant, so one `Modem`
+instance compiles one XLA program per (batch, recording-length) signature.
+Batching over frames is a leading axis throughout — the ≥100× throughput
+lever (BASELINE.json:5 "batched frames"; SURVEY.md §3.2 frame-batch data
+parallelism). The data-dependent frame start is handled with clamped
+`dynamic_slice` over a fixed frame window, never Python control flow.
+
+Host boundaries are thin: byte↔bit packing and header parsing live on the
+host; everything between waveform in and LLR/bits out runs on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ModemConfig, layout
+from ..ops.chanest import equalize, estimate_channel, pilot_phase_correct
+from ..ops.chirp import make_chirp
+from ..ops.constellation import hard_bits, qam_demap_llr, qam_map
+from ..ops.ofdm import ofdm_demodulate, ofdm_modulate
+from ..ops.sync import find_frame_start
+from ..utils.bits import bits_to_bytes, bytes_to_bits, pack_header, parse_header
+from .frame import data_symbols_from_bits, frame_bin_matrix
+
+__all__ = ["Modem", "DecodeDiag", "DecodeResult"]
+
+
+class DecodeDiag(NamedTuple):
+    """Structured per-decode observability (SURVEY.md §6.5): returned as an
+    auxiliary pytree from the jitted decode so diagnostics are jit-compatible."""
+
+    sync_start: jnp.ndarray      # (...,) int32 — chirp onset sample
+    sync_metric: jnp.ndarray     # (...,) f32 — correlation peak / mean floor
+    H: jnp.ndarray               # (..., n_used, 2) f32 (re, im) on device; the
+                                 # host wrappers convert to (..., n_used) complex64.
+                                 # (The axon TPU PJRT cannot transfer complex
+                                 # buffers host<->device — jit I/O must be real.)
+    noise_var: jnp.ndarray       # (...,) f32 — LS residual power
+    pilot_slope: jnp.ndarray     # (..., D) f32 — rad/bin timing drift
+    common_phase: jnp.ndarray    # (..., D) f32 — per-symbol phase error
+    evm: jnp.ndarray             # (...,) f32 — mean |X̂ − hard-decision|²
+    mean_abs_llr: jnp.ndarray    # (...,) f32 — demapper confidence
+
+
+@dataclass
+class DecodeResult:
+    payload: bytes
+    filename: str
+    crc_ok: bool
+    bits: np.ndarray
+    diag: Optional[DecodeDiag] = None
+
+
+class Modem:
+    """JAX/TPU implementation of the GF3 transceiver.
+
+    >>> m = Modem(preset("gf3"))
+    >>> wav = m.encode(b"hello", "hi.txt")       # host bytes -> np waveform
+    >>> res = m.decode(recording)                # np waveform -> DecodeResult
+    Batched device paths: `modulate_frames`, `demodulate` (leading axes free).
+    """
+
+    def __init__(self, cfg: ModemConfig):
+        self.cfg = cfg.validate()
+        self.lay = layout(cfg)
+        self.chirp = make_chirp(cfg)
+        self._code = None
+        if cfg.fec == "ldpc":
+            from ..fec.ldpc import LdpcCode
+            self._code = LdpcCode.for_config(cfg)
+        self._encode_jit = jax.jit(self.modulate_frames)
+        self._decode_jit = jax.jit(self.demodulate)
+        self._decode_at_jit = jax.jit(self.demodulate_at)
+
+    # ------------------------------------------------------ device: transmit
+    def fec_encode(self, info_bits: jnp.ndarray) -> jnp.ndarray:
+        """Info bits (..., payload_bits_per_frame) → channel bits (..., raw)."""
+        cfg = self.cfg
+        if cfg.fec == "ldpc":
+            *lead, _ = info_bits.shape
+            u = info_bits.reshape(*lead, cfg.n_codewords, cfg.ldpc_k)
+            coded = self._code.encode_jax(u).reshape(*lead, cfg.n_codewords * cfg.ldpc_n)
+            pad = jnp.zeros((*lead, cfg.raw_bits_per_frame - coded.shape[-1]), jnp.uint8)
+            return jnp.concatenate([coded, pad], axis=-1)
+        return info_bits
+
+    def modulate_frames(self, info_bits: jnp.ndarray) -> jnp.ndarray:
+        """(..., payload_bits_per_frame) uint8 → (..., frame_len) float32.
+
+        The full TX stack (SURVEY.md §4.1): FEC → QAM map → pilot/known
+        placement → batched irfft+CP → chirp/SC preamble concat.
+        """
+        cfg, lay = self.cfg, self.lay
+        coded = self.fec_encode(info_bits)
+        syms = frame_bin_matrix(cfg, data_symbols_from_bits(cfg, coded))
+        ofdm = ofdm_modulate(cfg, syms)
+        *lead, _ = ofdm.shape
+        parts = [jnp.broadcast_to(jnp.asarray(self.chirp, jnp.float32), (*lead, cfg.chirp_len))]
+        if cfg.use_schmidl_cox:
+            # (1, n_used) bins → (symbol_len,) samples (S folds into the stream)
+            sc = ofdm_modulate(cfg, jnp.asarray(lay.sc_sym)[None, :])
+            parts.append(jnp.broadcast_to(sc, (*lead, cfg.symbol_len)))
+        parts.append(ofdm)
+        return jnp.concatenate(parts, axis=-1)
+
+    # ------------------------------------------------------- device: receive
+    def _demod_at(self, rx: jnp.ndarray, start: jnp.ndarray):
+        """Demodulate frames whose chirp onset is `start`. rx: (..., T),
+        start: (...,) int32 → (llr (..., raw_bits), diag pieces)."""
+        cfg, lay = self.cfg, self.lay
+        T = rx.shape[-1]
+        n_sym = cfg.n_known_symbols + cfg.n_data_symbols
+        need = n_sym * cfg.symbol_len
+        backoff = cfg.cp // 4
+        ofdm_start = jnp.clip(start + cfg.preamble_len - backoff, 0, max(T - need, 0))
+
+        flat_rx = rx.reshape(-1, T)
+        flat_st = jnp.broadcast_to(ofdm_start, rx.shape[:-1]).reshape(-1)
+        window = jax.vmap(
+            lambda r, s: jax.lax.dynamic_slice(r, (s,), (need,))
+        )(flat_rx, flat_st).reshape(*rx.shape[:-1], need)
+
+        Y = ofdm_demodulate(cfg, window)                       # (..., K+D, n_used)
+        H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
+        eq = equalize(H, Y[..., cfg.n_known_symbols:, :])
+        eq, slope, cpe = pilot_phase_correct(cfg, eq)
+
+        data = eq[..., jnp.asarray(lay.data_pos)]              # (..., D, n_data_bins)
+        csi = jnp.abs(H) ** 2
+        nv_eff = (noise_var[..., None] / jnp.maximum(csi, 1e-12))[..., jnp.asarray(lay.data_pos)]
+        llr3 = qam_demap_llr(
+            data, jnp.broadcast_to(nv_eff[..., None, :], data.shape), cfg.bits_per_symbol
+        )
+        hard = hard_bits(llr3)
+        evm = jnp.mean(jnp.abs(data - qam_map(hard, cfg.bits_per_symbol)) ** 2, axis=(-2, -1))
+        llr = llr3.reshape(*rx.shape[:-1], cfg.raw_bits_per_frame)
+        return llr, (H, noise_var, slope, cpe, evm)
+
+    def _bits_from_llr(self, llr: jnp.ndarray) -> jnp.ndarray:
+        """Channel LLRs (..., raw_bits) → info bits (..., payload_bits)."""
+        cfg = self.cfg
+        if cfg.fec == "ldpc":
+            used = cfg.n_codewords * cfg.ldpc_n
+            *lead, _ = llr.shape
+            lw = llr[..., :used].reshape(*lead, cfg.n_codewords, cfg.ldpc_n)
+            info = self._code.decode_jax(lw, cfg.ldpc_iters)
+            return info.reshape(*lead, cfg.payload_bits_per_frame)
+        return hard_bits(llr)
+
+    def demodulate_at(self, rx: jnp.ndarray, start: jnp.ndarray):
+        """Decode with known frame start (loopback paths, BASELINE.json:7)."""
+        llr, (H, nv, slope, cpe, evm) = self._demod_at(rx, start)
+        bits = self._bits_from_llr(llr)
+        diag = DecodeDiag(
+            sync_start=jnp.broadcast_to(start, rx.shape[:-1]).astype(jnp.int32),
+            sync_metric=jnp.full(rx.shape[:-1], jnp.inf, jnp.float32),
+            H=jnp.stack([H.real, H.imag], axis=-1).astype(jnp.float32),
+            noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
+            mean_abs_llr=jnp.mean(jnp.abs(llr), axis=-1),
+        )
+        return bits, diag
+
+    def demodulate(self, rx: jnp.ndarray):
+        """Full RX stack (SURVEY.md §4.2): sync → FFT → LS est → EQ → pilot
+        tracking → demap → FEC. rx: (..., T) f32 → (bits, DecodeDiag)."""
+        start, metric = find_frame_start(self.cfg, rx, self.chirp)
+        llr, (H, nv, slope, cpe, evm) = self._demod_at(rx, start)
+        bits = self._bits_from_llr(llr)
+        diag = DecodeDiag(
+            sync_start=start.astype(jnp.int32), sync_metric=metric,
+            H=jnp.stack([H.real, H.imag], axis=-1).astype(jnp.float32),
+            noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
+            mean_abs_llr=jnp.mean(jnp.abs(llr), axis=-1),
+        )
+        return bits, diag
+
+    @staticmethod
+    def _host_diag(diag: DecodeDiag) -> DecodeDiag:
+        """Reconstitute complex H on the host (jit outputs must be real on TPU)."""
+        H = np.asarray(diag.H)
+        return diag._replace(H=(H[..., 0] + 1j * H[..., 1]).astype(np.complex64))
+
+    # -------------------------------------------------------- host wrappers
+    def _info_bits(self, payload: bytes, filename: str) -> np.ndarray:
+        cap = self.cfg.payload_bits_per_frame
+        bits = bytes_to_bits(pack_header(payload, filename))
+        if bits.size > cap:
+            raise ValueError(
+                f"payload needs {bits.size} info bits; frame carries {cap} "
+                f"(≤ {cap // 8} bytes incl. header)"
+            )
+        out = np.zeros(cap, dtype=np.uint8)
+        out[: bits.size] = bits
+        return out
+
+    def encode(self, payload: bytes, filename: str = "") -> np.ndarray:
+        """bytes → float32 waveform (single frame)."""
+        wav = self._encode_jit(jnp.asarray(self._info_bits(payload, filename)))
+        return np.asarray(wav)
+
+    def encode_batch(self, payloads: Sequence[bytes], filenames: Optional[Sequence[str]] = None) -> np.ndarray:
+        """List of payloads → (B, frame_len) float32 waveforms (one jit call)."""
+        filenames = filenames or [""] * len(payloads)
+        bits = np.stack([self._info_bits(p, f) for p, f in zip(payloads, filenames)])
+        return np.asarray(self._encode_jit(jnp.asarray(bits)))
+
+    def _result(self, bits: np.ndarray, diag) -> DecodeResult:
+        stream = bits_to_bytes(bits)
+        try:
+            payload, name, crc_ok = parse_header(stream)
+        except ValueError:
+            payload, name, crc_ok = b"", "", False
+        return DecodeResult(payload=payload, filename=name, crc_ok=crc_ok,
+                            bits=bits, diag=diag)
+
+    def decode(self, rx: np.ndarray, start: Optional[int] = None) -> DecodeResult:
+        """waveform → DecodeResult. `start` overrides chirp sync (loopback)."""
+        rx = jnp.asarray(np.asarray(rx, dtype=np.float32))
+        if start is not None:
+            bits, diag = self._decode_at_jit(rx, jnp.int32(start))
+        else:
+            bits, diag = self._decode_jit(rx)
+        return self._result(np.asarray(bits), self._host_diag(jax.device_get(diag)))
+
+    def decode_batch(self, rx: np.ndarray) -> list[DecodeResult]:
+        """(B, T) recordings → list of DecodeResult (one jit call)."""
+        rx = jnp.asarray(np.asarray(rx, dtype=np.float32))
+        bits, diag = self._decode_jit(rx)
+        bits = np.asarray(bits)
+        diag = self._host_diag(jax.device_get(diag))
+        out = []
+        for i in range(bits.shape[0]):
+            d = jax.tree.map(lambda x, i=i: x[i], diag)
+            out.append(self._result(bits[i], d))
+        return out

@@ -1,0 +1,62 @@
+"""Channel estimation + equalization (reference L5, SURVEY.md §2).
+
+LS estimate, one-tap FD EQ, and pilot phase/SFO tracking as fused batched
+complex arithmetic (BASELINE.json north-star: "pilot-based least-squares
+channel estimation and one-tap frequency-domain equalization fuse into a
+single complex-arithmetic kernel") — here expressed as jnp ops XLA fuses;
+a hand-fused Pallas variant lives in `gf3x.ops.pallas.equalize`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import ModemConfig, layout
+
+__all__ = ["estimate_channel", "equalize", "pilot_phase_correct"]
+
+
+def estimate_channel(cfg: ModemConfig, known_rx: jnp.ndarray):
+    """LS: Ĥ[k] = mean_r(Y_r[k]/X_r[k]); scalar residual noise variance.
+
+    known_rx: (..., K, n_used) complex64 → (Ĥ (..., n_used), noise_var (...,)).
+    SURVEY.md Appendix "LS channel estimate".
+    """
+    lay = layout(cfg)
+    X = jnp.asarray(lay.known_syms)                      # (K, n_used) complex64
+    ratio = known_rx / X
+    H = jnp.mean(ratio, axis=-2)
+    resid = known_rx - H[..., None, :] * X
+    noise_var = jnp.mean(jnp.abs(resid) ** 2, axis=(-2, -1))
+    return H, noise_var
+
+
+def equalize(H: jnp.ndarray, data_rx: jnp.ndarray) -> jnp.ndarray:
+    """One-tap FD EQ X̂ = Y/Ĥ. data_rx: (..., D, n_used), H: (..., n_used)."""
+    return data_rx / H[..., None, :]
+
+
+def pilot_phase_correct(cfg: ModemConfig, eq: jnp.ndarray):
+    """Residual timing-drift/phase correction from pilot phase slopes.
+
+    Per data symbol fit ∠(X̂_p·p*) ≈ a·k + b (SURVEY.md Appendix "Pilot
+    phase tracking"): slope from adjacent-pilot phase increments (no
+    unwrapping), intercept from the slope-compensated pilot sum. Returns
+    (corrected (..., D, n_used), slope (..., D), intercept (..., D)).
+    """
+    lay = layout(cfg)
+    if cfg.n_pilots < 2:
+        zeros = jnp.zeros(eq.shape[:-1], dtype=jnp.float32)
+        return eq, zeros, zeros
+    ppos = jnp.asarray(lay.pilot_pos)
+    pvals = jnp.asarray(lay.pilot_vals)
+    z = eq[..., ppos] * jnp.conj(pvals)                  # (..., D, P)
+    mean_dk = np.float32(np.mean(np.diff(lay.pilot_pos.astype(np.float64))))
+    inc = z[..., 1:] * jnp.conj(z[..., :-1])
+    a = jnp.angle(jnp.sum(inc, axis=-1)) / mean_dk       # rad/bin, (..., D)
+    k = jnp.asarray(lay.pilot_pos.astype(np.float32))
+    b = jnp.angle(jnp.sum(z * jnp.exp(-1j * a[..., None] * k), axis=-1))
+    kk = jnp.arange(cfg.n_used, dtype=jnp.float32)
+    corr = jnp.exp(-1j * (a[..., None] * kk + b[..., None]))
+    return eq * corr, a, b

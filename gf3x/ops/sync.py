@@ -1,0 +1,89 @@
+"""Frame synchronization (reference L4, SURVEY.md §2): chirp matched filter
+and Schmidl–Cox, as jittable batched ops.
+
+The reference's O(T·len(chirp)) correlation loop (hot loop #2, SURVEY.md
+§4.2 — "dominates wall-clock on long recordings") becomes one batched
+frequency-domain cross-correlation: irfft(rfft(rx)·conj(rfft(chirp))) with a
+static padded length, then an argmax peak-pick and a first-arrival
+refinement — all static-shape, so the whole sync runs as a single fused XLA
+program over a (batch, T) recording block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ModemConfig
+
+__all__ = ["matched_filter", "find_frame_start", "schmidl_cox_metric"]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << int(np.ceil(np.log2(max(2, n))))
+
+
+def matched_filter(rx: jnp.ndarray, chirp: np.ndarray) -> jnp.ndarray:
+    """m[n] = Σ_i rx[n+i]·c[i] via FFT cross-correlation (SURVEY.md Appendix).
+
+    rx: (..., T) float32; chirp: host constant. Returns (..., T) float32.
+    The FFT length is a static power of two ≥ T+len(chirp) (linear, not
+    circular, correlation).
+    """
+    T = rx.shape[-1]
+    nfft = _next_pow2(T + len(chirp))
+    c_f = jnp.asarray(np.conj(np.fft.rfft(chirp, nfft)).astype(np.complex64))
+    M = jnp.fft.irfft(jnp.fft.rfft(rx, nfft, axis=-1) * c_f, nfft, axis=-1)
+    return M[..., :T].astype(jnp.float32)
+
+
+def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray):
+    """Chirp sync: (..., T) recording → (start (...,) int32, metric (...,) f32).
+
+    argmax |m| then first-arrival refinement: earliest tap within 6 dB of
+    the peak in the preceding CP-length window (multipath robustness —
+    the strongest correlation tap can be a reflection). Mean |m| stands in
+    for the golden model's median in the peak metric (no O(T log T) sort on
+    device; both are floor estimates of the correlation noise).
+    """
+    mabs = jnp.abs(matched_filter(rx, chirp))
+    peak = jnp.argmax(mabs, axis=-1).astype(jnp.int32)
+    peak_val = jnp.take_along_axis(mabs, peak[..., None], axis=-1)[..., 0]
+
+    W = cfg.cp + 1
+
+    def refine(mrow, p, pv):
+        base = jnp.maximum(p - cfg.cp, 0)
+        win = jax.lax.dynamic_slice(mrow, (base,), (W,))
+        idx = jnp.arange(W, dtype=jnp.int32)
+        valid = (win >= 0.5 * pv) & (base + idx <= p)
+        first = jnp.argmax(valid).astype(jnp.int32)  # first True
+        return base + first
+
+    flat_m = mabs.reshape(-1, mabs.shape[-1])
+    flat_p = peak.reshape(-1)
+    flat_v = peak_val.reshape(-1)
+    start = jax.vmap(refine)(flat_m, flat_p, flat_v).reshape(peak.shape)
+    metric = peak_val / (jnp.mean(mabs, axis=-1) + 1e-12)
+    return start, metric
+
+
+def schmidl_cox_metric(cfg: ModemConfig, rx: jnp.ndarray) -> jnp.ndarray:
+    """M(d) = P(d)²/R(d)² over the half-symbol lag, via prefix sums.
+
+    P(d) = Σ_{m<L/2} r[d+m]·r[d+m+L/2] (real signal ⇒ conj is identity),
+    R(d) = Σ |r[d+m+L/2]|² (SURVEY.md Appendix; §6.7 "Schmidl–Cox via
+    prefix sums"). rx: (..., T) → (..., T − n_fft) float32.
+    """
+    half = cfg.n_fft // 2
+    prod = rx[..., :-half] * rx[..., half:]
+    energy = rx[..., half:] ** 2
+    zero = jnp.zeros(rx.shape[:-1] + (1,), dtype=rx.dtype)
+    cs_p = jnp.concatenate([zero, jnp.cumsum(prod, axis=-1)], axis=-1)
+    cs_r = jnp.concatenate([zero, jnp.cumsum(energy, axis=-1)], axis=-1)
+    n = rx.shape[-1] - cfg.n_fft
+    d = jnp.arange(n)
+    P = cs_p[..., d + half] - cs_p[..., d]
+    R = cs_r[..., d + half] - cs_r[..., d]
+    return (P * P) / jnp.maximum(R * R, 1e-24)
