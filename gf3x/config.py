@@ -274,11 +274,12 @@ CONFIG1_LOOPBACK = ModemConfig(fec="none").validate()
 
 # The full GF3 standard frame (BASELINE.json:10): chirp + SC + known-symbol
 # preamble, pilot-bearing data symbols, LDPC-coded payload. n_data_symbols
-# sized so the frame carries 2 codewords of the (1536,768) z=64 code.
+# sized so the frame carries 4 codewords of the (2304,1152) z=96 code:
+# 576 payload bytes per ~0.98 s frame (~4.7 kbit/s over the air).
 GF3_STANDARD = ModemConfig(
     fec="ldpc",
-    ldpc_z=64,
-    n_data_symbols=8,
+    ldpc_z=96,
+    n_data_symbols=20,
 ).validate()
 
 _PRESETS = {

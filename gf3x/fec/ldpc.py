@@ -1,0 +1,211 @@
+"""LDPC codec: MXU-matmul encoder + batched normalized-min-sum BP decoder.
+
+The one component where the reference leans on compiled code (the C `ldpc`
+library's encoder and sum-product decoder — SURVEY.md §3.1): here it becomes
+TPU-native JAX (SURVEY.md §8 step 5):
+
+- **encode**: parity bits via one (batch×k)·(k×m) float32 matmul against the
+  precomputed GF(2) projector (exact: row sums ≪ 2²⁴), then mod 2 — the
+  systolic-array formulation of back-substitution.
+- **decode**: flooding normalized min-sum over the quasi-cyclic block
+  structure. Messages live in *check order* as a dense (12, Dmax, batch, z)
+  array — the base matrix is static, so check-node grouping is a reshape,
+  circulant shifts are static gathers, and the only reductions are over the
+  tiny static degree axis. `lax.fori_loop` over iterations; everything is
+  batch-major for the VPU. No sparse scatter into ragged structures —
+  irregular connectivity is padded to rectangles (SURVEY.md §8 risk "LDPC
+  in XLA").
+
+A NumPy float64 twin of the decoder (same message schedule) serves the
+golden model; `gf3x/native/` adds a C++ host codec for parity testing.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .codes import N_BLOCK_COLS, N_BLOCK_ROWS, build_H_blocks, gf2_solve_parity
+
+__all__ = ["LdpcCode"]
+
+_ALPHA = 0.8  # min-sum normalization factor
+_BIG = np.float32(1e30)
+
+
+@dataclass(frozen=True)
+class _Tables:
+    """Static host-side decoder tables for one lifting factor z."""
+
+    z: int
+    dmax: int                 # max check-node degree over block rows
+    edge_col: np.ndarray      # (12, Dmax) int32 — block column (24 = dummy)
+    edge_shift: np.ndarray    # (12, Dmax) int32
+    edge_valid: np.ndarray    # (12, Dmax) bool
+    to_var_idx: np.ndarray    # (12, Dmax, z) int32: check-order -> var-order gather
+    to_chk_idx: np.ndarray    # (12, Dmax, z) int32: var-order -> check-order gather
+    P: np.ndarray             # (m, k) uint8 — GF(2) parity projector
+
+
+@functools.lru_cache(maxsize=None)
+def _tables(z: int) -> _Tables:
+    edges = build_H_blocks(z)
+    by_row: list[list[tuple[int, int]]] = [[] for _ in range(N_BLOCK_ROWS)]
+    for (i, j, s) in edges:
+        by_row[i].append((j, s))
+    dmax = max(len(r) for r in by_row)
+    col = np.full((N_BLOCK_ROWS, dmax), N_BLOCK_COLS, dtype=np.int32)  # dummy col
+    shf = np.zeros((N_BLOCK_ROWS, dmax), dtype=np.int32)
+    val = np.zeros((N_BLOCK_ROWS, dmax), dtype=bool)
+    for i, r in enumerate(by_row):
+        for d, (j, s) in enumerate(r):
+            col[i, d], shf[i, d], val[i, d] = j, s, True
+    c = np.arange(z, dtype=np.int32)
+    # check c ↔ variable v = (c + s) mod z:
+    #   msg_in_var_order[v]  = msg_in_chk_order[(v − s) mod z]
+    #   msg_in_chk_order[c]  = msg_in_var_order[(c + s) mod z]
+    to_var = (c[None, None, :] - shf[..., None]) % z
+    to_chk = (c[None, None, :] + shf[..., None]) % z
+    return _Tables(
+        z=z, dmax=dmax, edge_col=col, edge_shift=shf, edge_valid=val,
+        to_var_idx=to_var.astype(np.int32), to_chk_idx=to_chk.astype(np.int32),
+        P=gf2_solve_parity(z),
+    )
+
+
+class LdpcCode:
+    """Rate-1/2 QC-LDPC (n = 24z, k = 12z), 802.16e-style base matrix."""
+
+    def __init__(self, z: int):
+        self.z = z
+        self.n = N_BLOCK_COLS * z
+        self.k = N_BLOCK_ROWS * z
+        self.m = self.n - self.k
+        self.t = _tables(z)
+
+    @classmethod
+    @functools.lru_cache(maxsize=None)
+    def _cached(cls, z: int) -> "LdpcCode":
+        return cls(z)
+
+    @classmethod
+    def for_config(cls, cfg) -> "LdpcCode":
+        return cls._cached(cfg.ldpc_z)
+
+    # ------------------------------------------------------------ host numpy
+    def encode(self, u: np.ndarray) -> np.ndarray:
+        """(..., k) uint8 info bits → (..., n) uint8 codeword [u | p]."""
+        u = np.asarray(u, dtype=np.uint8)
+        p = (u.astype(np.int64) @ self.t.P.T.astype(np.int64)) & 1
+        return np.concatenate([u, p.astype(np.uint8)], axis=-1)
+
+    def check(self, c: np.ndarray) -> np.ndarray:
+        """Syndrome weight per codeword (0 ⇒ valid)."""
+        from .codes import _dense_H
+        H = _dense_H(self.z)
+        return ((c.astype(np.int64) @ H.T.astype(np.int64)) & 1).sum(axis=-1)
+
+    def decode(self, llr: np.ndarray, iters: int = 25) -> tuple[np.ndarray, int]:
+        """NumPy normalized-min-sum (golden twin). llr: (..., n), positive ⇒
+        bit 0. Returns (info bits (..., k), iterations run)."""
+        lead = llr.shape[:-1]
+        lam = llr.reshape(-1, self.n).astype(np.float64)
+        total = self._np_minsum(lam, iters)
+        bits = (total < 0).astype(np.uint8)
+        return bits[..., : self.k].reshape(*lead, self.k), iters
+
+    def _np_minsum(self, lam: np.ndarray, iters: int) -> np.ndarray:
+        t, z = self.t, self.z
+        B = lam.shape[0]
+        lam_b = lam.reshape(B, N_BLOCK_COLS, z)
+        lam_b = np.concatenate([lam_b, np.zeros((B, 1, z))], axis=1)  # dummy col
+        c2v = np.zeros((N_BLOCK_ROWS, t.dmax, B, z))
+        gv = np.broadcast_to(t.to_var_idx[:, :, None, :], (N_BLOCK_ROWS, t.dmax, B, z))
+        gc = np.broadcast_to(t.to_chk_idx[:, :, None, :], (N_BLOCK_ROWS, t.dmax, B, z))
+        valid = t.edge_valid[:, :, None, None]
+        for _ in range(iters):
+            contrib = np.take_along_axis(c2v, gv, axis=-1) * valid   # var order
+            totals = lam_b.copy()
+            np.add.at(totals.transpose(1, 0, 2), t.edge_col.reshape(-1),
+                      contrib.reshape(-1, B, z))
+            v2c_var = totals[:, t.edge_col].transpose(1, 2, 0, 3) - contrib
+            v2c = np.take_along_axis(v2c_var, gc, axis=-1)           # check order
+            mag = np.where(valid, np.abs(v2c), np.inf)
+            sgn = np.where(valid & (v2c < 0), -1.0, 1.0)
+            prod = np.prod(sgn, axis=1, keepdims=True)
+            m1 = np.min(mag, axis=1, keepdims=True)
+            am = np.argmin(mag, axis=1, keepdims=True)
+            mask = np.arange(t.dmax)[None, :, None, None] == am
+            m2 = np.min(np.where(mask, np.inf, mag), axis=1, keepdims=True)
+            mins = np.where(mask, m2, m1)
+            c2v = _ALPHA * (prod * sgn) * mins * valid
+        contrib = np.take_along_axis(c2v, gv, axis=-1) * valid
+        totals = lam_b.copy()
+        np.add.at(totals.transpose(1, 0, 2), t.edge_col.reshape(-1),
+                  contrib.reshape(-1, B, z))
+        return totals[:, :N_BLOCK_COLS].reshape(lam.shape[0], self.n)
+
+    # -------------------------------------------------------------- jax path
+    def encode_jax(self, u: jnp.ndarray) -> jnp.ndarray:
+        """(..., k) uint8 → (..., n) uint8. Parity via MXU matmul mod 2."""
+        Pt = jnp.asarray(self.t.P.T.astype(np.float32))              # (k, m)
+        uf = u.astype(jnp.float32)
+        p = jnp.dot(uf, Pt, preferred_element_type=jnp.float32)
+        p = jnp.mod(p, 2.0).astype(jnp.uint8)
+        return jnp.concatenate([u.astype(jnp.uint8), p], axis=-1)
+
+    def decode_jax(self, llr: jnp.ndarray, iters: int) -> jnp.ndarray:
+        """(..., n) float32 LLRs (positive ⇒ bit 0) → (..., k) uint8 info bits.
+
+        Flooding normalized min-sum, `lax.fori_loop` over iterations, all
+        shapes static. Leading dims are flattened into the batch axis and
+        restored — callers may vmap/shard over them freely.
+        """
+        t, z = self.t, self.z
+        lead = llr.shape[:-1]
+        lam = llr.reshape(-1, self.n).astype(jnp.float32)
+        B = lam.shape[0]
+
+        lam_b = lam.reshape(B, N_BLOCK_COLS, z).transpose(1, 0, 2)    # (24, B, z)
+        lam_b = jnp.concatenate([lam_b, jnp.zeros((1, B, z), jnp.float32)], axis=0)
+
+        gv = jnp.asarray(np.broadcast_to(
+            t.to_var_idx[:, :, None, :], (N_BLOCK_ROWS, t.dmax, 1, z)))
+        gc = jnp.asarray(np.broadcast_to(
+            t.to_chk_idx[:, :, None, :], (N_BLOCK_ROWS, t.dmax, 1, z)))
+        valid = jnp.asarray(t.edge_valid[:, :, None, None])
+        col = jnp.asarray(t.edge_col.reshape(-1))                     # (12·Dmax,)
+        dpos = np.arange(t.dmax)[None, :, None, None]
+
+        def totals_of(c2v):
+            contrib = jnp.take_along_axis(
+                c2v, jnp.broadcast_to(gv, c2v.shape), axis=-1)
+            contrib = jnp.where(valid, contrib, 0.0)                  # var order
+            tot = lam_b.at[col].add(contrib.reshape(-1, B, z))        # (25, B, z)
+            return tot, contrib
+
+        def body(_, c2v):
+            tot, contrib = totals_of(c2v)
+            v2c_var = tot[col].reshape(N_BLOCK_ROWS, t.dmax, B, z) - contrib
+            v2c = jnp.take_along_axis(
+                v2c_var, jnp.broadcast_to(gc, v2c_var.shape), axis=-1)  # check order
+            mag = jnp.where(valid, jnp.abs(v2c), _BIG)
+            sgn = jnp.where(valid & (v2c < 0), -1.0, 1.0)
+            prod = jnp.prod(sgn, axis=1, keepdims=True)
+            m1 = jnp.min(mag, axis=1, keepdims=True)
+            am = jnp.argmin(mag, axis=1, keepdims=True)
+            mask = jnp.asarray(dpos) == am
+            m2 = jnp.min(jnp.where(mask, _BIG, mag), axis=1, keepdims=True)
+            mins = jnp.where(mask, m2, m1)
+            return jnp.where(valid, _ALPHA * (prod * sgn) * mins, 0.0)
+
+        c2v = jnp.zeros((N_BLOCK_ROWS, t.dmax, B, z), jnp.float32)
+        c2v = jax.lax.fori_loop(0, iters, body, c2v)
+        tot, _ = totals_of(c2v)
+        total = tot[:N_BLOCK_COLS].transpose(1, 0, 2).reshape(B, self.n)
+        bits = (total < 0).astype(jnp.uint8)
+        return bits[:, : self.k].reshape(*lead, self.k)
