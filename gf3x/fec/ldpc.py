@@ -164,48 +164,66 @@ class LdpcCode:
         Flooding normalized min-sum, `lax.fori_loop` over iterations, all
         shapes static. Leading dims are flattened into the batch axis and
         restored — callers may vmap/shard over them freely.
+
+        TPU formulation: the base matrix is static, so every circulant
+        shift is a *static* `jnp.roll` (two slices + a concat — pure VPU
+        data movement) and every check/variable grouping is static Python
+        indexing, unrolled once inside the loop body. No gathers or
+        scatters with runtime indices anywhere — elementwise-gather lowering
+        on TPU is orders of magnitude slower (measured 6.2 s vs ~20 ms for
+        this decode at batch 1024 codewords).
         """
         t, z = self.t, self.z
         lead = llr.shape[:-1]
         lam = llr.reshape(-1, self.n).astype(jnp.float32)
         B = lam.shape[0]
+        lam_b = lam.reshape(B, N_BLOCK_COLS, z)                       # (B, 24, z)
 
-        lam_b = lam.reshape(B, N_BLOCK_COLS, z).transpose(1, 0, 2)    # (24, B, z)
-        lam_b = jnp.concatenate([lam_b, jnp.zeros((1, B, z), jnp.float32)], axis=0)
-
-        gv = jnp.asarray(np.broadcast_to(
-            t.to_var_idx[:, :, None, :], (N_BLOCK_ROWS, t.dmax, 1, z)))
-        gc = jnp.asarray(np.broadcast_to(
-            t.to_chk_idx[:, :, None, :], (N_BLOCK_ROWS, t.dmax, 1, z)))
-        valid = jnp.asarray(t.edge_valid[:, :, None, None])
-        col = jnp.asarray(t.edge_col.reshape(-1))                     # (12·Dmax,)
-        dpos = np.arange(t.dmax)[None, :, None, None]
+        edges = build_H_blocks(z)                                     # row-major
+        rows: list[list[tuple[int, int, int]]] = [[] for _ in range(N_BLOCK_ROWS)]
+        for e, (i, j, s) in enumerate(edges):
+            rows[i].append((e, j, s))
+        E = len(edges)
+        by_col: list[list[int]] = [[] for _ in range(N_BLOCK_COLS)]
+        for e, (i, j, s) in enumerate(edges):
+            by_col[j].append(e)
 
         def totals_of(c2v):
-            contrib = jnp.take_along_axis(
-                c2v, jnp.broadcast_to(gv, c2v.shape), axis=-1)
-            contrib = jnp.where(valid, contrib, 0.0)                  # var order
-            tot = lam_b.at[col].add(contrib.reshape(-1, B, z))        # (25, B, z)
-            return tot, contrib
+            """c2v: (E, B, z) in check order → (totals (B,24,z), var-order contribs)."""
+            contrib = [jnp.roll(c2v[e], s, axis=-1) for e, (_, _, s) in enumerate(edges)]
+            cols = []
+            for j in range(N_BLOCK_COLS):
+                acc = lam_b[:, j]
+                for e in by_col[j]:
+                    acc = acc + contrib[e]
+                cols.append(acc)
+            return jnp.stack(cols, axis=1), contrib
 
         def body(_, c2v):
             tot, contrib = totals_of(c2v)
-            v2c_var = tot[col].reshape(N_BLOCK_ROWS, t.dmax, B, z) - contrib
-            v2c = jnp.take_along_axis(
-                v2c_var, jnp.broadcast_to(gc, v2c_var.shape), axis=-1)  # check order
-            mag = jnp.where(valid, jnp.abs(v2c), _BIG)
-            sgn = jnp.where(valid & (v2c < 0), -1.0, 1.0)
-            prod = jnp.prod(sgn, axis=1, keepdims=True)
-            m1 = jnp.min(mag, axis=1, keepdims=True)
-            am = jnp.argmin(mag, axis=1, keepdims=True)
-            mask = jnp.asarray(dpos) == am
-            m2 = jnp.min(jnp.where(mask, _BIG, mag), axis=1, keepdims=True)
-            mins = jnp.where(mask, m2, m1)
-            return jnp.where(valid, _ALPHA * (prod * sgn) * mins, 0.0)
+            new = [None] * E
+            for i in range(N_BLOCK_ROWS):
+                # v2c for this check row, in check order: (d, B, z)
+                v2c = jnp.stack(
+                    [jnp.roll(tot[:, j] - contrib[e], -s, axis=-1)
+                     for (e, j, s) in rows[i]], axis=0)
+                mag = jnp.abs(v2c)
+                sgn = jnp.where(v2c < 0, -1.0, 1.0)
+                prod = jnp.prod(sgn, axis=0, keepdims=True)
+                m1 = jnp.min(mag, axis=0, keepdims=True)
+                am = jnp.argmin(mag, axis=0, keepdims=True)
+                d = len(rows[i])
+                mask = jnp.arange(d)[:, None, None] == am
+                m2 = jnp.min(jnp.where(mask, _BIG, mag), axis=0, keepdims=True)
+                mins = jnp.where(mask, m2, m1)
+                out = _ALPHA * (prod * sgn) * mins                    # (d, B, z)
+                for di, (e, _, _) in enumerate(rows[i]):
+                    new[e] = out[di]
+            return jnp.stack(new, axis=0)
 
-        c2v = jnp.zeros((N_BLOCK_ROWS, t.dmax, B, z), jnp.float32)
+        c2v = jnp.zeros((E, B, z), jnp.float32)
         c2v = jax.lax.fori_loop(0, iters, body, c2v)
         tot, _ = totals_of(c2v)
-        total = tot[:N_BLOCK_COLS].transpose(1, 0, 2).reshape(B, self.n)
+        total = tot.reshape(B, self.n)
         bits = (total < 0).astype(jnp.uint8)
         return bits[:, : self.k].reshape(*lead, self.k)
