@@ -10,6 +10,25 @@ BASELINE.json:5: `encode(bytes) -> waveform`, `decode(waveform) -> bytes`).
     result = modem.decode(recording)   # .payload, .filename, .crc_ok, .diag
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: compiles on the tunneled axon TPU take
+# minutes, so repeat CLI/bench invocations would otherwise recompile the
+# same programs every run. Opt out with GF3X_NO_COMPILE_CACHE=1.
+if not _os.environ.get("GF3X_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("GF3X_COMPILE_CACHE",
+                            _os.path.expanduser("~/.cache/gf3x_jax")),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
 from .config import ModemConfig, preset, GF3_STANDARD, CONFIG1_LOOPBACK, layout
 from .models import Modem, DecodeDiag, DecodeResult
 from .golden import GoldenModem

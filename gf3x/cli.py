@@ -1,0 +1,201 @@
+"""Command-line apps (reference L7, SURVEY.md §2/§4.3-4.4: transmit.py /
+receive.py / sweep scripts).
+
+    python -m gf3x.cli transmit FILE -o tx.wav [--preset gf3] [--play]
+    python -m gf3x.cli receive rx.wav [-o DIR] [--preset gf3] [--json]
+    python -m gf3x.cli sweep --snrs 0 2 4 6 8 [--preset gf3] [--trials 16]
+    python -m gf3x.cli info [--preset gf3]
+    python -m gf3x.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _select_device(args) -> None:
+    """Pick the backend BEFORE any jax computation runs.
+
+    Single-frame transmit/receive is latency-bound: on this TPU (tunneled
+    axon PJRT, mandatory remote compile) a fresh program compile takes
+    minutes, while the whole job is milliseconds of compute — so those
+    commands default to CPU. Throughput commands (sweep, bench) default to
+    the TPU, where batched decode is 100×+ faster than CPU.
+    """
+    dev = args.device
+    if dev == "auto":
+        dev = "cpu" if args.cmd in ("transmit", "receive", "info") else "tpu"
+    if dev == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    # "tpu": leave the platform selection alone (axon/tpu is the default)
+
+
+def _modem(args):
+    from .config import preset
+    from .models import Modem
+
+    cfg = preset(args.preset)
+    if args.qam:
+        cfg = cfg.replace(bits_per_symbol={4: 2, 16: 4, 64: 6}[args.qam])
+    return Modem(cfg)
+
+
+def cmd_transmit(args) -> int:
+    from .io import have_live_audio, play, write_wav
+    from .models.stream import encode_file, frame_capacity
+
+    modem = _modem(args)
+    path = Path(args.file)
+    data = path.read_bytes()
+    name = args.filename or path.name
+    wav = encode_file(modem, data, name, gap_s=args.gap)
+    n_frames = -(-len(data) // frame_capacity(modem, name)) if data else 1
+    out = args.output or (path.name + ".wav")
+    write_wav(out, wav, modem.cfg.fs)
+    dur = len(wav) / modem.cfg.fs
+    print(f"wrote {out}: {len(data)} bytes in {n_frames} frame(s), "
+          f"{dur:.2f}s of audio ({8 * len(data) / max(dur, 1e-9):.0f} bit/s)")
+    if args.play:
+        if not have_live_audio():
+            print("no live audio stack on this host; play the WAV externally",
+                  file=sys.stderr)
+            return 1
+        play(wav, modem.cfg.fs)
+    return 0
+
+
+def cmd_receive(args) -> int:
+    from .io import read_wav
+    from .models.stream import decode_stream
+
+    modem = _modem(args)
+    rx, _ = read_wav(args.wav, expect_fs=modem.cfg.fs if args.strict_fs else None)
+    res = decode_stream(modem, rx, threshold=args.threshold)
+
+    report = {
+        "frames_detected": int(res.starts.size),
+        "frames_crc_ok": sum(1 for r in res.frames if r.crc_ok),
+        "complete": res.complete,
+        "filename": res.filename,
+        "bytes": len(res.payload) if res.payload is not None else 0,
+        "missing_seqs": res.missing,
+        "starts": [int(s) for s in res.starts],
+        "evm": [round(float(r.diag.evm), 5) for r in res.frames if r.diag is not None],
+    }
+    if args.json:
+        print(json.dumps(report))
+    else:
+        for k, v in report.items():
+            print(f"{k}: {v}")
+    if not res.complete:
+        return 2
+    outdir = Path(args.output or ".")
+    outdir.mkdir(parents=True, exist_ok=True)
+    out = outdir / (res.filename or "decoded.bin")
+    out.write_bytes(res.payload)
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from .bench.ber import ber_sweep
+
+    modem = _modem(args)
+    res = ber_sweep(modem, snrs_db=args.snrs, n_trials=args.trials)
+    rows = zip(res["snr_db"], res["ber_pre_fec"], res["ber_post_fec"], res["fer"])
+    if args.json:
+        print(json.dumps({k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                          for k, v in res.items()}))
+    else:
+        print(f"{'SNR dB':>8} {'pre-FEC BER':>12} {'post-FEC BER':>13} {'FER':>8}")
+        for s, pre, post, fer in rows:
+            print(f"{s:8.1f} {pre:12.2e} {post:13.2e} {fer:8.3f}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    modem = _modem(args)
+    cfg = modem.cfg
+    from .models.stream import frame_capacity
+
+    print(f"preset           : {args.preset}")
+    print(f"fs               : {cfg.fs} Hz")
+    print(f"FFT / CP         : {cfg.n_fft} / {cfg.cp}")
+    print(f"used bins        : {cfg.bin_lo}..{cfg.bin_hi} "
+          f"({cfg.n_used} = {cfg.n_pilots} pilots + {cfg.n_data_bins} data)")
+    print(f"band             : {cfg.bin_lo * cfg.fs / cfg.n_fft:.0f}"
+          f"-{cfg.bin_hi * cfg.fs / cfg.n_fft:.0f} Hz")
+    print(f"constellation    : {2 ** cfg.bits_per_symbol}-QAM")
+    print(f"frame            : chirp {cfg.chirp_len} + SC {cfg.sc_len} + "
+          f"{cfg.n_known_symbols} known + {cfg.n_data_symbols} data symbols "
+          f"= {cfg.frame_len} samples ({cfg.frame_len / cfg.fs:.3f}s)")
+    if cfg.fec == "ldpc":
+        print(f"FEC              : LDPC (n={cfg.ldpc_n}, k={cfg.ldpc_k}) z={cfg.ldpc_z}, "
+              f"{cfg.n_codewords} codewords, {cfg.ldpc_iters} iters")
+    else:
+        print("FEC              : none")
+    print(f"payload capacity : {frame_capacity(modem)} bytes/frame "
+          f"({8 * cfg.payload_bits_per_frame / (cfg.frame_len / cfg.fs) / 8:.0f} B/s raw)")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="gf3x", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--preset", default="gf3", help="config preset (gf3 | loopback)")
+    ap.add_argument("--qam", type=int, choices=[4, 16, 64], default=None,
+                    help="override constellation order")
+    ap.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
+                    help="auto = CPU for latency-bound transmit/receive, "
+                         "TPU for throughput-bound sweep/bench")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("transmit", help="file -> WAV (optionally play)")
+    t.add_argument("file")
+    t.add_argument("-o", "--output")
+    t.add_argument("--filename", help="name carried in the header (default: basename)")
+    t.add_argument("--gap", type=float, default=0.05, help="inter-frame gap seconds")
+    t.add_argument("--play", action="store_true")
+    t.set_defaults(fn=cmd_transmit)
+
+    r = sub.add_parser("receive", help="WAV -> file")
+    r.add_argument("wav")
+    r.add_argument("-o", "--output", help="output directory")
+    r.add_argument("--threshold", type=float, default=0.4)
+    r.add_argument("--strict-fs", action="store_true")
+    r.add_argument("--json", action="store_true")
+    r.set_defaults(fn=cmd_receive)
+
+    s = sub.add_parser("sweep", help="BER-vs-SNR sweep (config 3)")
+    s.add_argument("--snrs", type=float, nargs="+", default=[0, 2, 4, 6, 8, 12, 16, 20])
+    s.add_argument("--trials", type=int, default=16)
+    s.add_argument("--json", action="store_true")
+    s.set_defaults(fn=cmd_sweep)
+
+    i = sub.add_parser("info", help="print frame geometry / capacity")
+    i.set_defaults(fn=cmd_info)
+
+    b = sub.add_parser("bench", help="run the driver benchmark (config 5)")
+    b.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    _select_device(args)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -58,6 +58,8 @@ class DecodeResult:
     crc_ok: bool
     bits: np.ndarray
     diag: Optional[DecodeDiag] = None
+    seq: int = 0
+    total: int = 1
 
 
 class Modem:
@@ -190,9 +192,9 @@ class Modem:
         return diag._replace(H=(H[..., 0] + 1j * H[..., 1]).astype(np.complex64))
 
     # -------------------------------------------------------- host wrappers
-    def _info_bits(self, payload: bytes, filename: str) -> np.ndarray:
+    def _info_bits(self, payload: bytes, filename: str, seq: int = 0, total: int = 1) -> np.ndarray:
         cap = self.cfg.payload_bits_per_frame
-        bits = bytes_to_bits(pack_header(payload, filename))
+        bits = bytes_to_bits(pack_header(payload, filename, seq=seq, total=total))
         if bits.size > cap:
             raise ValueError(
                 f"payload needs {bits.size} info bits; frame carries {cap} "
@@ -202,25 +204,38 @@ class Modem:
         out[: bits.size] = bits
         return out
 
-    def encode(self, payload: bytes, filename: str = "") -> np.ndarray:
+    def encode(self, payload: bytes, filename: str = "", seq: int = 0, total: int = 1) -> np.ndarray:
         """bytes → float32 waveform (single frame)."""
-        wav = self._encode_jit(jnp.asarray(self._info_bits(payload, filename)))
+        wav = self._encode_jit(jnp.asarray(self._info_bits(payload, filename, seq, total)))
         return np.asarray(wav)
 
-    def encode_batch(self, payloads: Sequence[bytes], filenames: Optional[Sequence[str]] = None) -> np.ndarray:
+    def encode_batch(
+        self,
+        payloads: Sequence[bytes],
+        filenames: Optional[Sequence[str]] = None,
+        seqs: Optional[Sequence[int]] = None,
+        total: int = 1,
+    ) -> np.ndarray:
         """List of payloads → (B, frame_len) float32 waveforms (one jit call)."""
         filenames = filenames or [""] * len(payloads)
-        bits = np.stack([self._info_bits(p, f) for p, f in zip(payloads, filenames)])
+        seqs = seqs if seqs is not None else [0] * len(payloads)
+        bits = np.stack([
+            self._info_bits(p, f, s, total)
+            for p, f, s in zip(payloads, filenames, seqs)
+        ])
         return np.asarray(self._encode_jit(jnp.asarray(bits)))
 
     def _result(self, bits: np.ndarray, diag) -> DecodeResult:
+        from ..utils.bits import parse_frame_header
         stream = bits_to_bytes(bits)
         try:
-            payload, name, crc_ok = parse_header(stream)
+            h = parse_frame_header(stream)
+            return DecodeResult(payload=h.payload, filename=h.filename,
+                                crc_ok=h.crc_ok, bits=bits, diag=diag,
+                                seq=h.seq, total=h.total)
         except ValueError:
-            payload, name, crc_ok = b"", "", False
-        return DecodeResult(payload=payload, filename=name, crc_ok=crc_ok,
-                            bits=bits, diag=diag)
+            return DecodeResult(payload=b"", filename="", crc_ok=False,
+                                bits=bits, diag=diag)
 
     def decode(self, rx: np.ndarray, start: Optional[int] = None) -> DecodeResult:
         """waveform → DecodeResult. `start` overrides chirp sync (loopback)."""

@@ -1,0 +1,161 @@
+"""Multi-frame file transfer over one recording (SURVEY.md §6.7 "streaming
+sync over unbounded recordings", L7 transmit/receive apps).
+
+A file larger than one frame's payload capacity is chunked across frames
+(header seq/total fields), transmitted back-to-back with short gaps, and
+reassembled from a single long recording: the chirp matched filter runs once
+over the whole recording on device, peak picking extracts every frame onset,
+and all detected frames decode in ONE batched jit call.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.sync import matched_filter
+from ..utils.bits import HEADER_OVERHEAD
+from .modem import DecodeResult, Modem
+
+__all__ = ["encode_file", "find_frames", "decode_stream", "StreamResult", "frame_capacity"]
+
+
+def frame_capacity(modem: Modem, filename: str = "") -> int:
+    """Payload bytes one frame can carry after the header."""
+    cap = modem.cfg.payload_bits_per_frame // 8 - HEADER_OVERHEAD - len(filename.encode("utf-8"))
+    if cap <= 0:
+        raise ValueError("frame too small for the header alone")
+    return cap
+
+
+def encode_file(
+    modem: Modem, data: bytes, filename: str = "", gap_s: float = 0.05
+) -> np.ndarray:
+    """bytes of any size → one waveform of ⌈len/cap⌉ frames with gaps."""
+    cap = frame_capacity(modem, filename)
+    chunks = [data[i: i + cap] for i in range(0, max(len(data), 1), cap)]
+    total = len(chunks)
+    if total > 0xFFFF:
+        raise ValueError(f"file needs {total} frames (> 65535)")
+    wavs = modem.encode_batch(
+        chunks, filenames=[filename] * total,
+        seqs=list(range(total)), total=total,
+    )
+    gap = np.zeros(int(round(gap_s * modem.cfg.fs)), dtype=np.float32)
+    parts: list[np.ndarray] = []
+    for i in range(total):
+        parts.append(wavs[i])
+        if i != total - 1:
+            parts.append(gap)
+    return np.concatenate(parts)
+
+
+def find_frames(
+    modem: Modem,
+    rx: np.ndarray,
+    max_frames: Optional[int] = None,
+    threshold: float = 0.4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Locate every frame onset in a recording → (starts, ncc_metrics).
+
+    The FFT matched filter runs on device over the full recording; peak
+    picking (greedy argmax with frame-length exclusion + first-arrival
+    refinement, as in single-frame sync) runs on the host. Peaks are scored
+    by *normalized* cross-correlation — |m[n]| / (‖chirp‖·‖rx[n:n+L]‖) —
+    which is gain-invariant and ≈1 at a true chirp but ≈1/√L on OFDM data,
+    so `threshold` (default 0.4) separates frames from self-noise robustly.
+    (A bare peak/median ratio cannot: data symbols correlate at 10×+ the
+    floor on long recordings.)
+    """
+    cfg = modem.cfg
+    rx32 = np.asarray(rx, dtype=np.float32)
+    mabs = np.abs(np.asarray(jax.jit(
+        lambda r: matched_filter(r, modem.chirp)
+    )(jnp.asarray(rx32))))
+    L = cfg.chirp_len
+    ce = float(np.sum(modem.chirp**2))
+    cs = np.concatenate([[0.0], np.cumsum(rx32.astype(np.float64) ** 2)])
+    local = cs[np.minimum(np.arange(len(rx32)) + L, len(rx32))] - cs[: len(rx32)]
+    # floor the window energy at −40 dB of the loudest window: in silence both
+    # |m| and the local energy are ~0 and the raw ratio is FFT roundoff noise
+    local = np.maximum(local, np.max(local) * 1e-4 + 1e-20)
+    ncc = mabs / (np.sqrt(local * ce) + 1e-20)
+    work = ncc.copy()
+    min_sep = cfg.frame_len // 2
+    starts, metrics = [], []
+    limit = max_frames if max_frames is not None else len(rx32) // cfg.frame_len + 1
+    for _ in range(limit):
+        p = int(np.argmax(work))
+        v = float(work[p])
+        if v < threshold:
+            break
+        lo = max(0, p - cfg.cp)
+        win = mabs[lo: p + 1]
+        first = lo + int(np.argmax(win >= 0.5 * mabs[p]))
+        starts.append(first)
+        metrics.append(v)
+        work[max(0, p - min_sep): p + min_sep] = 0.0
+    order = np.argsort(starts)
+    return (np.asarray(starts, dtype=np.int64)[order],
+            np.asarray(metrics, dtype=np.float64)[order])
+
+
+@dataclass
+class StreamResult:
+    payload: Optional[bytes]          # reassembled bytes (None if incomplete)
+    filename: str
+    complete: bool
+    frames: list[DecodeResult] = field(default_factory=list)
+    starts: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    missing: list[int] = field(default_factory=list)
+
+
+def decode_stream(modem: Modem, rx: np.ndarray, threshold: float = 0.4) -> StreamResult:
+    """Recording with any number of frames → reassembled file bytes.
+
+    All detected frames decode in one batched jit call (windows are sliced
+    on the host at the detected onsets, so the in-jit sync is a no-op
+    start=0). Reassembly requires every seq 0..total−1 present with CRC ok.
+    """
+    cfg = modem.cfg
+    rx32 = np.asarray(rx, dtype=np.float32)
+    starts, metrics = find_frames(modem, rx32, threshold=threshold)
+    if starts.size == 0:
+        return StreamResult(payload=None, filename="", complete=False)
+
+    pad = np.zeros(cfg.frame_len, dtype=np.float32)
+    rx_pad = np.concatenate([rx32, pad])
+    windows = np.stack([rx_pad[s: s + cfg.frame_len] for s in starts])
+    results = []
+    bits, diag = modem._decode_at_jit(
+        jnp.asarray(windows), jnp.zeros((len(starts),), jnp.int32))
+    bits = np.asarray(bits)
+    diag = Modem._host_diag(jax.device_get(diag))
+    for i in range(len(starts)):
+        d = jax.tree.map(lambda x, i=i: x[i], diag)
+        r = modem._result(bits[i], d)
+        results.append(r)
+
+    good = [r for r in results if r.crc_ok]
+    if not good:
+        return StreamResult(payload=None, filename="", complete=False,
+                            frames=results, starts=starts)
+    total = max(r.total for r in good)
+    by_seq: dict[int, DecodeResult] = {}
+    for r in good:
+        by_seq.setdefault(r.seq, r)
+    missing = [s for s in range(total) if s not in by_seq]
+    complete = not missing
+    payload = b"".join(by_seq[s].payload for s in range(total)) if complete else None
+    return StreamResult(
+        payload=payload,
+        filename=good[0].filename,
+        complete=complete,
+        frames=results,
+        starts=starts,
+        missing=missing,
+    )

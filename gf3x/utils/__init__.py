@@ -3,6 +3,8 @@ from .bits import (
     bits_to_bytes,
     pack_header,
     parse_header,
+    parse_frame_header,
+    FrameHeader,
     HEADER_OVERHEAD,
 )
 
@@ -11,5 +13,7 @@ __all__ = [
     "bits_to_bytes",
     "pack_header",
     "parse_header",
+    "parse_frame_header",
+    "FrameHeader",
     "HEADER_OVERHEAD",
 ]
