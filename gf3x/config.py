@@ -46,8 +46,10 @@ class ModemConfig:
     # --- subcarrier allocation: used rfft bins are [bin_lo, bin_hi] inclusive,
     #     1 <= bin_lo <= bin_hi <= n_fft//2 - 1 (DC and Nyquist always zero;
     #     Hermitian symmetry is implicit in the rfft/irfft pair).
+    #     n_used = 280 = 35·pilot_spacing → strided pilot layout (see
+    #     `strided_pilots`): band ≈ 1.03–13.05 kHz at fs=44100/N=1024.
     bin_lo: int = 24
-    bin_hi: int = 300
+    bin_hi: int = 303
 
     # --- pilot layout: every `pilot_spacing`-th used bin (starting at
     #     `pilot_offset` within the used range) carries a known QPSK pilot.
@@ -96,6 +98,19 @@ class ModemConfig:
         if self.pilot_spacing <= 0:
             return 0
         return len(range(self.pilot_offset, self.n_used, self.pilot_spacing))
+
+    @property
+    def strided_pilots(self) -> bool:
+        """True when the pilot grid tiles the used band exactly: pilot/data
+        separation is then a reshape + slice instead of a gather — on TPU,
+        elementwise gathers lower catastrophically (SURVEY.md §8 "LDPC in
+        XLA" risk; measured orders-of-magnitude slowdowns), so the standard
+        presets keep this property."""
+        return (
+            self.pilot_spacing > 0
+            and self.pilot_offset == 0
+            and self.n_used % self.pilot_spacing == 0
+        )
 
     @property
     def n_data_bins(self) -> int:

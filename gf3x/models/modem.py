@@ -115,30 +115,38 @@ class Modem:
         return jnp.concatenate(parts, axis=-1)
 
     # ------------------------------------------------------- device: receive
-    def _demod_at(self, rx: jnp.ndarray, start: jnp.ndarray):
+    def _demod_at(self, rx: jnp.ndarray, start: jnp.ndarray,
+                  R: Optional[jnp.ndarray] = None, nfft: Optional[int] = None):
         """Demodulate frames whose chirp onset is `start`. rx: (..., T),
-        start: (...,) int32 → (llr (..., raw_bits), diag pieces)."""
+        start: (...,) int32 → (llr (..., raw_bits), diag pieces).
+
+        The data-dependent frame cut uses the FFT shift theorem on the
+        recording spectrum (see `extract_windows_spec`) — pass R/nfft to
+        reuse the matched filter's rfft."""
+        from ..ops.sync import extract_windows_spec, rx_spectrum, sync_nfft
+
         cfg, lay = self.cfg, self.lay
         T = rx.shape[-1]
         n_sym = cfg.n_known_symbols + cfg.n_data_symbols
         need = n_sym * cfg.symbol_len
         backoff = cfg.cp // 4
         ofdm_start = jnp.clip(start + cfg.preamble_len - backoff, 0, max(T - need, 0))
+        ofdm_start = jnp.broadcast_to(ofdm_start, rx.shape[:-1])
 
-        flat_rx = rx.reshape(-1, T)
-        flat_st = jnp.broadcast_to(ofdm_start, rx.shape[:-1]).reshape(-1)
-        window = jax.vmap(
-            lambda r, s: jax.lax.dynamic_slice(r, (s,), (need,))
-        )(flat_rx, flat_st).reshape(*rx.shape[:-1], need)
+        if R is None:
+            nfft = sync_nfft(T, 0)
+            R = rx_spectrum(rx, nfft)
+        window = extract_windows_spec(R, ofdm_start, need, nfft)
 
         Y = ofdm_demodulate(cfg, window)                       # (..., K+D, n_used)
         H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
         eq = equalize(H, Y[..., cfg.n_known_symbols:, :])
         eq, slope, cpe = pilot_phase_correct(cfg, eq)
 
-        data = eq[..., jnp.asarray(lay.data_pos)]              # (..., D, n_data_bins)
+        from .frame import split_pilots
+        _, data = split_pilots(cfg, eq)                        # (..., D, n_data_bins)
         csi = jnp.abs(H) ** 2
-        nv_eff = (noise_var[..., None] / jnp.maximum(csi, 1e-12))[..., jnp.asarray(lay.data_pos)]
+        _, nv_eff = split_pilots(cfg, noise_var[..., None] / jnp.maximum(csi, 1e-12))
         llr3 = qam_demap_llr(
             data, jnp.broadcast_to(nv_eff[..., None, :], data.shape), cfg.bits_per_symbol
         )
@@ -173,9 +181,17 @@ class Modem:
 
     def demodulate(self, rx: jnp.ndarray):
         """Full RX stack (SURVEY.md §4.2): sync → FFT → LS est → EQ → pilot
-        tracking → demap → FEC. rx: (..., T) f32 → (bits, DecodeDiag)."""
-        start, metric = find_frame_start(self.cfg, rx, self.chirp)
-        llr, (H, nv, slope, cpe, evm) = self._demod_at(rx, start)
+        tracking → demap → FEC. rx: (..., T) f32 → (bits, DecodeDiag).
+
+        One rfft of the recording feeds both the chirp matched filter and
+        the shift-theorem frame cut."""
+        from ..ops.sync import rx_spectrum, sync_nfft
+
+        T = rx.shape[-1]
+        nfft = sync_nfft(T, len(self.chirp))
+        R = rx_spectrum(rx, nfft)
+        start, metric = find_frame_start(self.cfg, rx, self.chirp, R=R, nfft=nfft)
+        llr, (H, nv, slope, cpe, evm) = self._demod_at(rx, start, R=R, nfft=nfft)
         bits = self._bits_from_llr(llr)
         diag = DecodeDiag(
             sync_start=start.astype(jnp.int32), sync_metric=metric,

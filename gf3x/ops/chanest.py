@@ -45,13 +45,15 @@ def pilot_phase_correct(cfg: ModemConfig, eq: jnp.ndarray):
     unwrapping), intercept from the slope-compensated pilot sum. Returns
     (corrected (..., D, n_used), slope (..., D), intercept (..., D)).
     """
+    from ..models.frame import split_pilots
+
     lay = layout(cfg)
     if cfg.n_pilots < 2:
         zeros = jnp.zeros(eq.shape[:-1], dtype=jnp.float32)
         return eq, zeros, zeros
-    ppos = jnp.asarray(lay.pilot_pos)
     pvals = jnp.asarray(lay.pilot_vals)
-    z = eq[..., ppos] * jnp.conj(pvals)                  # (..., D, P)
+    pil, _ = split_pilots(cfg, eq)
+    z = pil * jnp.conj(pvals)                            # (..., D, P)
     mean_dk = np.float32(np.mean(np.diff(lay.pilot_pos.astype(np.float64))))
     inc = z[..., 1:] * jnp.conj(z[..., :-1])
     a = jnp.angle(jnp.sum(inc, axis=-1)) / mean_dk       # rad/bin, (..., D)

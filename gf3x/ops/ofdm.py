@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModemConfig, layout
+from ..config import ModemConfig
 
 __all__ = ["ofdm_modulate", "ofdm_demodulate"]
 
@@ -20,15 +20,14 @@ __all__ = ["ofdm_modulate", "ofdm_demodulate"]
 def ofdm_modulate(cfg: ModemConfig, sym_bins: jnp.ndarray) -> jnp.ndarray:
     """(..., S, n_used) complex64 bin values → (..., S·(N+CP)) float32 samples.
 
-    Scatters used bins into the rfft spectrum (static index set), inverse
-    real FFT, scales to the configured symbol RMS, prepends the cyclic
-    prefix, and flattens symbols into a sample stream.
+    The used bins are a contiguous range [bin_lo, bin_hi], so spectrum
+    placement is a zero-pad (concat) — never a scatter, which lowers to a
+    per-element store loop on TPU. Inverse real FFT, symbol-RMS scaling,
+    CP prepend, flatten.
     """
-    lay = layout(cfg)
-    used = jnp.asarray(lay.used_bins)
     *lead, S, _ = sym_bins.shape
-    spec = jnp.zeros((*lead, S, cfg.n_bins), dtype=jnp.complex64)
-    spec = spec.at[..., used].set(sym_bins.astype(jnp.complex64))
+    pad = [(0, 0)] * (len(lead) + 1) + [(cfg.bin_lo, cfg.n_bins - cfg.bin_hi - 1)]
+    spec = jnp.pad(sym_bins.astype(jnp.complex64), pad)
     x = jnp.fft.irfft(spec, cfg.n_fft, axis=-1).astype(jnp.float32) * jnp.float32(cfg.ofdm_scale)
     with_cp = jnp.concatenate([x[..., -cfg.cp:], x], axis=-1)
     return with_cp.reshape(*lead, S * cfg.symbol_len)
@@ -38,11 +37,11 @@ def ofdm_demodulate(cfg: ModemConfig, samples: jnp.ndarray) -> jnp.ndarray:
     """(..., S·(N+CP)) float32 samples → (..., S, n_used) complex64 bins.
 
     The reference's per-symbol FFT loop (hot loop #3, SURVEY.md §4.2) as one
-    batched rfft with the CP stripped by reshape+slice.
+    batched rfft with the CP stripped by reshape+slice; used-bin extraction
+    is a contiguous slice.
     """
-    lay = layout(cfg)
     *lead, T = samples.shape
     S = T // cfg.symbol_len
     sym = samples.reshape(*lead, S, cfg.symbol_len)[..., cfg.cp:]
     spec = jnp.fft.rfft(sym, cfg.n_fft, axis=-1) / np.float32(cfg.ofdm_scale)
-    return spec[..., jnp.asarray(lay.used_bins)].astype(jnp.complex64)
+    return spec[..., cfg.bin_lo: cfg.bin_hi + 1].astype(jnp.complex64)

@@ -17,11 +17,37 @@ import jax.numpy as jnp
 
 from ..config import ModemConfig
 
-__all__ = ["matched_filter", "find_frame_start", "schmidl_cox_metric"]
+__all__ = [
+    "matched_filter",
+    "matched_filter_spec",
+    "find_frame_start",
+    "schmidl_cox_metric",
+    "sync_nfft",
+    "rx_spectrum",
+    "extract_windows_spec",
+]
 
 
 def _next_pow2(n: int) -> int:
     return 1 << int(np.ceil(np.log2(max(2, n))))
+
+
+def sync_nfft(T: int, chirp_len: int) -> int:
+    """Static FFT length for linear (non-circular) correlation."""
+    return _next_pow2(T + chirp_len)
+
+
+def rx_spectrum(rx: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    """rfft of the recording at the sync FFT length — computed once and
+    shared by the matched filter and the frame-window extraction."""
+    return jnp.fft.rfft(rx, nfft, axis=-1)
+
+
+def matched_filter_spec(R: jnp.ndarray, chirp: np.ndarray, T: int, nfft: int) -> jnp.ndarray:
+    """Matched filter from a precomputed spectrum R = rfft(rx, nfft)."""
+    c_f = jnp.asarray(np.conj(np.fft.rfft(chirp, nfft)).astype(np.complex64))
+    M = jnp.fft.irfft(R * c_f, nfft, axis=-1)
+    return M[..., :T].astype(jnp.float32)
 
 
 def matched_filter(rx: jnp.ndarray, chirp: np.ndarray) -> jnp.ndarray:
@@ -32,13 +58,31 @@ def matched_filter(rx: jnp.ndarray, chirp: np.ndarray) -> jnp.ndarray:
     circular, correlation).
     """
     T = rx.shape[-1]
-    nfft = _next_pow2(T + len(chirp))
-    c_f = jnp.asarray(np.conj(np.fft.rfft(chirp, nfft)).astype(np.complex64))
-    M = jnp.fft.irfft(jnp.fft.rfft(rx, nfft, axis=-1) * c_f, nfft, axis=-1)
-    return M[..., :T].astype(jnp.float32)
+    nfft = sync_nfft(T, len(chirp))
+    return matched_filter_spec(rx_spectrum(rx, nfft), chirp, T, nfft)
 
 
-def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray):
+def extract_windows_spec(
+    R: jnp.ndarray, starts: jnp.ndarray, need: int, nfft: int
+) -> jnp.ndarray:
+    """Cut rx[start : start+need] per row from the precomputed spectrum.
+
+    The shift theorem does the data-dependent slice as an elementwise phase
+    ramp + one irfft: rolling rx left by `start` (y[n] = x[n+start])
+    multiplies bin k by exp(+2πik·start/nfft). A vmap'd `dynamic_slice`
+    lowers to a per-element gather on TPU (measured 109 ms for a 126 MB cut
+    at batch 1024); this formulation reuses the sync FFT and costs one
+    inverse FFT (~10 ms).
+    """
+    k = jnp.arange(R.shape[-1], dtype=jnp.float32)
+    ang = (2.0 * np.pi / nfft) * starts.astype(jnp.float32)[..., None] * k
+    rolled = jnp.fft.irfft(R * jax.lax.complex(jnp.cos(ang), jnp.sin(ang)),
+                           nfft, axis=-1)
+    return rolled[..., :need].astype(jnp.float32)
+
+
+def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray,
+                     R: jnp.ndarray | None = None, nfft: int | None = None):
     """Chirp sync: (..., T) recording → (start (...,) int32, metric (...,) f32).
 
     argmax |m| then first-arrival refinement: earliest tap within 6 dB of
@@ -46,8 +90,13 @@ def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray):
     the strongest correlation tap can be a reflection). Mean |m| stands in
     for the golden model's median in the peak metric (no O(T log T) sort on
     device; both are floor estimates of the correlation noise).
+
+    Pass R = rfft(rx, nfft) to reuse a precomputed spectrum.
     """
-    mabs = jnp.abs(matched_filter(rx, chirp))
+    if R is not None:
+        mabs = jnp.abs(matched_filter_spec(R, chirp, rx.shape[-1], nfft))
+    else:
+        mabs = jnp.abs(matched_filter(rx, chirp))
     peak = jnp.argmax(mabs, axis=-1).astype(jnp.int32)
     peak_val = jnp.take_along_axis(mabs, peak[..., None], axis=-1)[..., 0]
 
