@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: VMEM-resident LDPC normalized-min-sum decoder.
+
+The XLA formulation of the decoder (gf3x.fec.ldpc.decode_jax) is
+HBM-bandwidth-bound: each of the ~25 iterations streams the (E, B, z)
+message array through HBM several times (~87 ms at 4096 codewords). Here the
+whole message state lives in VMEM scratch across ALL iterations — HBM sees
+the LLRs once in and the totals once out.
+
+Layout: per-edge message tiles are (z, B_blk) with B_blk = 128 lanes and
+z = 96 sublanes, so circulant shifts are static sublane rolls (pltpu.roll)
+and every reduction is elementwise over (z, 128) tiles. The base matrix is
+static: the edge structure is Python-unrolled into the kernel body (~76
+edges), exactly mirroring the XLA twin's schedule so decoded bits are
+bit-identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...fec.codes import N_BLOCK_COLS, N_BLOCK_ROWS, build_H_blocks
+
+__all__ = ["minsum_totals_tpu", "LANES"]
+
+LANES = 128
+_ALPHA = 0.8
+_BIG = np.float32(1e30)
+
+
+def _kernel(lam_ref, out_ref, c2v_ref, tot_ref, *, z: int, iters: int,
+            edges, rows, by_col):
+    E = len(edges)
+
+    def contrib(e):
+        # check order → variable order: msg_var[v] = msg_chk[(v − s) mod z]
+        _, _, s = edges[e]
+        return pltpu.roll(c2v_ref[e], s, 0)
+
+    def compute_totals():
+        for j in range(N_BLOCK_COLS):
+            acc = lam_ref[j]
+            for e in by_col[j]:
+                acc = acc + contrib(e)
+            tot_ref[j] = acc
+
+    def body(_, carry):
+        compute_totals()
+        for i in range(N_BLOCK_ROWS):
+            row = rows[i]
+            v2c = [
+                pltpu.roll(tot_ref[j] - contrib(e), z - s if s else 0, 0)
+                for (e, j, s) in row
+            ]
+            mag = [jnp.abs(v) for v in v2c]
+            sgn = [jnp.where(v < 0, -1.0, 1.0) for v in v2c]
+            prod = sgn[0]
+            for sg in sgn[1:]:
+                prod = prod * sg
+            # min1 / min2 over the (static, ≤7) row degree
+            m1 = mag[0]
+            for mg in mag[1:]:
+                m1 = jnp.minimum(m1, mg)
+            m2 = jnp.full_like(m1, _BIG)
+            seen_min = jnp.zeros_like(m1, dtype=jnp.bool_)
+            for mg in mag:
+                is_min_first = (mg == m1) & jnp.logical_not(seen_min)
+                m2 = jnp.where(is_min_first, m2, jnp.minimum(m2, mg))
+                seen_min = seen_min | (mg == m1)
+            for d, (e, j, s) in enumerate(row):
+                exclude_min = (mag[d] == m1) & _first_at(mag, d, m1)
+                mins = jnp.where(exclude_min, m2, m1)
+                c2v_ref[e] = _ALPHA * (prod * sgn[d]) * mins
+        return carry
+
+    def _first_at(mag, d, m1):
+        # True where edge d is the FIRST row edge attaining the minimum —
+        # mirrors argmin semantics of the XLA twin (ties broken by index).
+        earlier = jnp.zeros_like(m1, dtype=jnp.bool_)
+        for dd in range(d):
+            earlier = earlier | (mag[dd] == m1)
+        return jnp.logical_not(earlier)
+
+    for e in range(E):
+        c2v_ref[e] = jnp.zeros_like(c2v_ref[e])
+    jax.lax.fori_loop(0, iters, body, 0)
+    compute_totals()
+    for j in range(N_BLOCK_COLS):
+        out_ref[j] = tot_ref[j]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def minsum_totals_tpu(lam_t: jnp.ndarray, z: int, iters: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """lam_t: (24, z, B) f32 LLRs (B % 128 == 0) → final totals (24, z, B).
+
+    Hard decision and info-bit slicing happen in the caller (XLA), keeping
+    the kernel output layout tile-friendly. `interpret=True` runs the
+    Pallas interpreter (kernel-logic tests on CPU).
+    """
+    _, _, B = lam_t.shape
+    assert B % LANES == 0, B
+    edges = build_H_blocks(z)
+    rows = [[] for _ in range(N_BLOCK_ROWS)]
+    by_col = [[] for _ in range(N_BLOCK_COLS)]
+    for e, (i, j, s) in enumerate(edges):
+        rows[i].append((e, j, s))
+        by_col[j].append(e)
+    E = len(edges)
+
+    kern = functools.partial(
+        _kernel, z=z, iters=iters,
+        edges=tuple(edges),
+        rows=tuple(tuple(r) for r in rows),
+        by_col=tuple(tuple(c) for c in by_col),
+    )
+    grid = (B // LANES,)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N_BLOCK_COLS, z, LANES), lambda g: (0, 0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N_BLOCK_COLS, z, LANES), lambda g: (0, 0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(lam_t.shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((E, z, LANES), jnp.float32),            # c2v messages
+            pltpu.VMEM((N_BLOCK_COLS, z, LANES), jnp.float32), # column totals
+        ],
+        interpret=interpret,
+    )(lam_t)
