@@ -1,0 +1,45 @@
+"""Recorded-capture regression: decode the frozen WAVs in tests/fixtures/
+and verify payload hashes (the reference's decode-parity check on recorded
+test captures, BASELINE.json:5). These captures pin the wire format — a
+failure here means an encode-side change broke compatibility with audio
+recorded by earlier versions."""
+
+import hashlib
+import json
+from pathlib import Path
+
+import pytest
+
+from gf3x import Modem, preset
+from gf3x.io import read_wav
+from gf3x.models.stream import decode_stream
+
+FIXTURES = Path(__file__).parent / "fixtures"
+MANIFEST = json.loads((FIXTURES / "manifest.json").read_text())
+
+
+@pytest.mark.parametrize("cap", MANIFEST["captures"], ids=lambda c: c["wav"])
+def test_capture_decodes_bit_exact(cap):
+    rx, _ = read_wav(FIXTURES / cap["wav"])
+    modem = Modem(preset(cap["preset"]))
+    res = decode_stream(modem, rx)
+    assert res.complete, f"{cap['wav']}: missing frames {res.missing}"
+    assert res.starts.size == cap["n_frames"]
+    assert res.filename == cap["filename"]
+    assert len(res.payload) == cap["payload_len"]
+    assert hashlib.sha256(res.payload).hexdigest() == cap["payload_sha256"]
+
+
+def test_golden_also_decodes_single_frame_captures():
+    """Cross-implementation parity on the captures (golden = reference
+    stand-in, SURVEY.md §0): both decoders recover identical bytes."""
+    from gf3x import GoldenModem
+
+    for cap in MANIFEST["captures"]:
+        if cap["n_frames"] != 1:
+            continue
+        rx, _ = read_wav(FIXTURES / cap["wav"])
+        g = GoldenModem(preset(cap["preset"]))
+        res = g.decode(rx.astype("float64"))
+        assert res.crc_ok
+        assert hashlib.sha256(res.payload).hexdigest() == cap["payload_sha256"]

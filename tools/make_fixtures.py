@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Generate the frozen "recorded capture" fixtures in tests/fixtures/.
+
+The reference keeps recorded test captures in-repo and re-decodes them as
+its parity check (BASELINE.json:5; SURVEY.md §5b). Our captures are
+deterministic simulated recordings (golden-model TX + seeded channel) so
+they also pin the WIRE FORMAT: any change to the PRBS, header layout, LDPC
+code, constellation labeling, or frame schema breaks their decode and fails
+tests/test_captures.py.
+
+Run from the repo root to (re)generate — but regenerating DELIBERATELY
+invalidates compatibility with previously recorded audio; bump the manifest
+"format" field when the wire format changes intentionally.
+"""
+
+import hashlib
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from gf3x import CONFIG1_LOOPBACK, GF3_STANDARD, GoldenModem
+from gf3x.channel import awgn, clip, delay_gain, multipath, resample_sfo, room_impulse_response
+from gf3x.io import write_wav
+from gf3x.models.stream import encode_file
+from gf3x.models import Modem
+
+OUT = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
+
+
+def main():
+    OUT.mkdir(parents=True, exist_ok=True)
+    manifest = {"format": 1, "captures": []}
+
+    def add(name, rx, payload, preset, filename, n_frames):
+        write_wav(OUT / name, rx)
+        manifest["captures"].append({
+            "wav": name,
+            "preset": preset,
+            "filename": filename,
+            "payload_sha256": hashlib.sha256(payload).hexdigest(),
+            "payload_len": len(payload),
+            "n_frames": n_frames,
+        })
+
+    # 1. GF3 standard single frame through a mild room (golden-model TX)
+    rng = np.random.default_rng(101)
+    payload = bytes(rng.integers(0, 256, 400, dtype=np.uint8))
+    g = GoldenModem(GF3_STANDARD)
+    wav = g.encode(payload, "capture1.bin")
+    h = room_impulse_response(rng, rt60=0.04, drr_db=6.0)
+    rx = awgn(delay_gain(multipath(wav, h), 6000, 0.4, total_len=len(wav) + 16000), 20.0, rng)
+    add("gf3_single_room.wav", rx, payload, "gf3", "capture1.bin", 1)
+
+    # 2. GF3 multi-frame file with clipping + clock offset (JAX TX)
+    rng = np.random.default_rng(102)
+    payload = bytes(rng.integers(0, 256, 1200, dtype=np.uint8))
+    m = Modem(GF3_STANDARD)
+    wav = encode_file(m, payload, "capture2.bin")
+    x = clip(resample_sfo(np.asarray(wav, np.float64), 20.0), 0.95)
+    rx = awgn(delay_gain(x, 3000, 0.5, total_len=len(x) + 8000), 19.0, rng)
+    add("gf3_multiframe_sfo.wav", rx, payload, "gf3", "capture2.bin", 3)
+
+    # 3. Uncoded loopback preset, delay+gain only (config 2 shape)
+    rng = np.random.default_rng(103)
+    payload = bytes(rng.integers(0, 256, 600, dtype=np.uint8))
+    g1 = GoldenModem(CONFIG1_LOOPBACK)
+    wav = g1.encode(payload, "capture3.bin")
+    rx = awgn(delay_gain(wav, 9000, 0.25, total_len=len(wav) + 14000), 24.0, rng)
+    add("uncoded_delay_gain.wav", rx, payload, "loopback", "capture3.bin", 1)
+
+    (OUT / "manifest.json").write_text(json.dumps(manifest, indent=1))
+    print(f"wrote {len(manifest['captures'])} captures to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
