@@ -213,6 +213,10 @@ class Layout:
     pilot_vals: np.ndarray       # (n_pilots,) complex64 — unit-power QPSK pilots
     known_syms: np.ndarray       # (n_known_symbols, n_used) complex64 — PRBS QPSK
     sc_sym: np.ndarray           # (n_used,) complex64 — SC symbol bins (odd bins 0)
+    scramble: np.ndarray         # (raw_bits_per_frame,) uint8 — channel-bit
+                                 # scrambler: keeps padded/constant payloads
+                                 # noise-like so no data symbol degenerates
+                                 # into an impulse (PAPR control)
 
 
 def _prbs_bits(n: int, seed: int) -> np.ndarray:
@@ -251,11 +255,15 @@ def layout(cfg: ModemConfig) -> Layout:
     mask[ppos] = False
     dpos = np.nonzero(mask)[0].astype(np.int32)
 
-    # pilots + known symbols from one continuous PRBS stream (class standard)
+    # pilots, known symbols, SC symbol, and the channel-bit scrambler all
+    # come from one continuous PRBS stream (class standard)
     n_pilot_bits = 2 * len(ppos)
     n_known_bits = 2 * cfg.n_known_symbols * cfg.n_used
     n_sc_bits = 2 * cfg.n_used
-    bits = _prbs_bits(n_pilot_bits + n_known_bits + n_sc_bits, cfg.prbs_seed)
+    bits = _prbs_bits(
+        n_pilot_bits + n_known_bits + n_sc_bits + cfg.raw_bits_per_frame,
+        cfg.prbs_seed,
+    )
     pvals = _qpsk_from_bits(bits[:n_pilot_bits]).astype(np.complex64)
     kvals = (
         _qpsk_from_bits(bits[n_pilot_bits:n_pilot_bits + n_known_bits])
@@ -267,7 +275,8 @@ def layout(cfg: ModemConfig) -> Layout:
     # halves in the time domain (SURVEY.md Appendix "Schmidl–Cox"). Built on
     # the used-bin grid; odd used bins zeroed, even bins get √2-boosted QPSK
     # so symbol power matches a data symbol.
-    scb = _qpsk_from_bits(bits[n_pilot_bits + n_known_bits:]).astype(np.complex64)
+    off = n_pilot_bits + n_known_bits
+    scb = _qpsk_from_bits(bits[off: off + n_sc_bits]).astype(np.complex64)
     even = (used % 2) == 0
     sc = np.where(even, scb * np.sqrt(2.0), 0.0).astype(np.complex64)
 
@@ -278,6 +287,7 @@ def layout(cfg: ModemConfig) -> Layout:
         pilot_vals=pvals,
         known_syms=kvals,
         sc_sym=sc,
+        scramble=bits[off + n_sc_bits:].astype(np.uint8),
     )
 
 

@@ -171,7 +171,10 @@ class GoldenModem:
         d = np.arange(n)
         P = cs_p[d + half] - cs_p[d]
         R = cs_r[d + half] - cs_r[d]
-        return (P * P) / np.maximum(R * R, 1e-24)
+        # energy floor: windows with almost no signal (recording edges) have
+        # P ≈ R ≈ 0 and the raw ratio spikes to ~1 on noise
+        R = np.maximum(R, 0.05 * R.max() + 1e-24)
+        return (P * P) / (R * R)
 
     # -------------------------------------------------------------- OFDM (L3)
     def ofdm_modulate(self, sym_bins: np.ndarray) -> np.ndarray:
@@ -243,15 +246,20 @@ class GoldenModem:
         return np.concatenate([lay.known_syms.astype(np.complex128), data], axis=0)
 
     def _channel_bits(self, info_bits: np.ndarray) -> np.ndarray:
-        """Info bits (payload_bits_per_frame) → channel bits (raw_bits_per_frame)."""
+        """Info bits (payload_bits_per_frame) → scrambled channel bits.
+
+        The PRBS scrambler keeps constant payloads/padding noise-like so no
+        data symbol collapses into a time-domain impulse (PAPR control)."""
         c = self.cfg
         assert info_bits.size == c.payload_bits_per_frame
         if c.fec == "ldpc":
             u = info_bits.reshape(c.n_codewords, c.ldpc_k)
             coded = self._ldpc.encode(u).reshape(-1)
             pad = np.zeros(c.raw_bits_per_frame - coded.size, dtype=np.uint8)
-            return np.concatenate([coded, pad])
-        return info_bits.astype(np.uint8)
+            coded = np.concatenate([coded, pad])
+        else:
+            coded = info_bits.astype(np.uint8)
+        return coded ^ self.lay.scramble
 
     # --------------------------------------------------------- public API (L6)
     def encode(self, payload: bytes, filename: str = "") -> np.ndarray:
@@ -329,6 +337,7 @@ class GoldenModem:
             )
         diag["sync_start"] = start
         diag["sync_peak_metric"] = peak_metric
+        llr = llr * (1.0 - 2.0 * self.lay.scramble)   # descramble channel bits
         if c.fec == "ldpc":
             used = c.n_codewords * c.ldpc_n
             lw = llr[:used].reshape(c.n_codewords, c.ldpc_n)

@@ -85,15 +85,21 @@ class Modem:
 
     # ------------------------------------------------------ device: transmit
     def fec_encode(self, info_bits: jnp.ndarray) -> jnp.ndarray:
-        """Info bits (..., payload_bits_per_frame) → channel bits (..., raw)."""
+        """Info bits (..., payload_bits_per_frame) → scrambled channel bits.
+
+        The PRBS scrambler (layout.scramble) keeps constant payloads and
+        padding noise-like so no data symbol collapses into a time-domain
+        impulse (PAPR control)."""
         cfg = self.cfg
         if cfg.fec == "ldpc":
             *lead, _ = info_bits.shape
             u = info_bits.reshape(*lead, cfg.n_codewords, cfg.ldpc_k)
             coded = self._code.encode_jax(u).reshape(*lead, cfg.n_codewords * cfg.ldpc_n)
             pad = jnp.zeros((*lead, cfg.raw_bits_per_frame - coded.shape[-1]), jnp.uint8)
-            return jnp.concatenate([coded, pad], axis=-1)
-        return info_bits
+            coded = jnp.concatenate([coded, pad], axis=-1)
+        else:
+            coded = info_bits
+        return coded ^ jnp.asarray(self.lay.scramble)
 
     def modulate_frames(self, info_bits: jnp.ndarray) -> jnp.ndarray:
         """(..., payload_bits_per_frame) uint8 → (..., frame_len) float32.
@@ -158,6 +164,7 @@ class Modem:
     def _bits_from_llr(self, llr: jnp.ndarray) -> jnp.ndarray:
         """Channel LLRs (..., raw_bits) → info bits (..., payload_bits)."""
         cfg = self.cfg
+        llr = llr * jnp.asarray(1.0 - 2.0 * self.lay.scramble.astype(np.float32))
         if cfg.fec == "ldpc":
             used = cfg.n_codewords * cfg.ldpc_n
             *lead, _ = llr.shape

@@ -135,4 +135,6 @@ def schmidl_cox_metric(cfg: ModemConfig, rx: jnp.ndarray) -> jnp.ndarray:
     d = jnp.arange(n)
     P = cs_p[..., d + half] - cs_p[..., d]
     R = cs_r[..., d + half] - cs_r[..., d]
-    return (P * P) / jnp.maximum(R * R, 1e-24)
+    # energy floor: near-silent windows otherwise spike to M ≈ 1 on noise
+    R = jnp.maximum(R, 0.05 * jnp.max(R, axis=-1, keepdims=True) + 1e-24)
+    return (P * P) / (R * R)

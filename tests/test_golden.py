@@ -161,10 +161,9 @@ def test_config3_multipath_room_channel():
     rng = np.random.default_rng(7)
     payload = bytes(rng.integers(0, 256, size=300, dtype=np.uint8))
     wav = m.encode(payload, "room.bin")
-    # rt60 chosen so the delay spread fits the 256-sample CP (≈5.8 ms); a CP
-    # sized for the room is part of the GF3 standard (SURVEY.md §6.6). Longer
-    # reverb is the FEC-protected case (config 4).
-    h = room_impulse_response(rng, fs=44100, rt60=0.02, drr_db=3.0)
+    # margin for UNCODED QPSK: reverb well inside the CP (≈5.8 ms); longer
+    # reverb is the FEC-protected case (config 4, test_gf3_frame).
+    h = room_impulse_response(rng, fs=44100, rt60=0.015, drr_db=6.0)
     rx = multipath(wav, h)
     rx = delay_gain(rx, delay=2000, gain=1.0, total_len=len(rx) + 4000)
     rx = awgn(rx, 30.0, rng)
