@@ -29,7 +29,7 @@ def _select_device(args) -> None:
     """
     dev = args.device
     if dev == "auto":
-        dev = "cpu" if args.cmd in ("transmit", "receive", "info") else "tpu"
+        dev = "cpu" if args.cmd in ("transmit", "receive", "retransmit", "info") else "tpu"
     if dev == "cpu":
         import jax
 
@@ -94,6 +94,15 @@ def cmd_receive(args) -> int:
     else:
         for k, v in report.items():
             print(f"{k}: {v}")
+    if args.constellation and res.starts.size:
+        from .bench.plots import save_constellation
+        syms = modem.equalized_symbols(rx, start=int(res.starts[0]))
+        save_constellation(syms, args.constellation)
+        print(f"wrote {args.constellation}")
+    if args.channel_plot and res.frames and res.frames[0].diag is not None:
+        from .bench.plots import save_channel_response
+        save_channel_response(res.frames[0].diag.H, modem.cfg, args.channel_plot)
+        print(f"wrote {args.channel_plot}")
     if not res.complete:
         return 2
     outdir = Path(args.output or ".")
@@ -104,11 +113,28 @@ def cmd_receive(args) -> int:
     return 0
 
 
+def cmd_retransmit(args) -> int:
+    from .io import write_wav
+    from .models.stream import encode_frames
+
+    modem = _modem(args)
+    path = Path(args.file)
+    data = path.read_bytes()
+    name = args.filename or path.name
+    wav = encode_frames(modem, data, args.seqs, name, gap_s=args.gap)
+    out = args.output or (path.name + f".retx{'-'.join(map(str, args.seqs))}.wav")
+    write_wav(out, wav, modem.cfg.fs)
+    print(f"wrote {out}: frames {args.seqs} of {path.name}")
+    return 0
+
+
 def cmd_sweep(args) -> int:
     from .bench.ber import ber_sweep
 
     modem = _modem(args)
-    res = ber_sweep(modem, snrs_db=args.snrs, n_trials=args.trials)
+    from .utils.profiling import maybe_trace
+    with maybe_trace():
+        res = ber_sweep(modem, snrs_db=args.snrs, n_trials=args.trials)
     rows = zip(res["snr_db"], res["ber_pre_fec"], res["ber_post_fec"], res["fer"])
     if args.json:
         print(json.dumps({k: (v.tolist() if isinstance(v, np.ndarray) else v)
@@ -117,6 +143,11 @@ def cmd_sweep(args) -> int:
         print(f"{'SNR dB':>8} {'pre-FEC BER':>12} {'post-FEC BER':>13} {'FER':>8}")
         for s, pre, post, fer in rows:
             print(f"{s:8.1f} {pre:12.2e} {post:13.2e} {fer:8.3f}")
+    if args.plot:
+        from .bench.plots import save_ber_plot
+        save_ber_plot(res, args.plot,
+                      title=f"{args.preset}: BER vs SNR ({2**modem.cfg.bits_per_symbol}-QAM)")
+        print(f"wrote {args.plot}")
     return 0
 
 
@@ -178,12 +209,25 @@ def main(argv=None) -> int:
     r.add_argument("--threshold", type=float, default=0.4)
     r.add_argument("--strict-fs", action="store_true")
     r.add_argument("--json", action="store_true")
+    r.add_argument("--constellation", help="save equalized-constellation PNG")
+    r.add_argument("--channel-plot", help="save |H|/phase response PNG")
     r.set_defaults(fn=cmd_receive)
+
+    rt = sub.add_parser("retransmit",
+                        help="re-encode selected frames of FILE (recovery for "
+                             "'missing_seqs' from receive)")
+    rt.add_argument("file")
+    rt.add_argument("--seqs", type=int, nargs="+", required=True)
+    rt.add_argument("-o", "--output")
+    rt.add_argument("--filename", help="name carried in the header (default: basename)")
+    rt.add_argument("--gap", type=float, default=0.05)
+    rt.set_defaults(fn=cmd_retransmit)
 
     s = sub.add_parser("sweep", help="BER-vs-SNR sweep (config 3)")
     s.add_argument("--snrs", type=float, nargs="+", default=[0, 2, 4, 6, 8, 12, 16, 20])
     s.add_argument("--trials", type=int, default=16)
     s.add_argument("--json", action="store_true")
+    s.add_argument("--plot", help="save BER curve PNG")
     s.set_defaults(fn=cmd_sweep)
 
     i = sub.add_parser("info", help="print frame geometry / capacity")

@@ -40,6 +40,9 @@ class DecodeDiag(NamedTuple):
 
     sync_start: jnp.ndarray      # (...,) int32 — chirp onset sample
     sync_metric: jnp.ndarray     # (...,) f32 — correlation peak / mean floor
+    sc_metric: jnp.ndarray       # (...,) f32 — Schmidl–Cox M(d) at the SC
+                                 # symbol position (≈1 when a frame is really
+                                 # there; second sync opinion, BASELINE.json:5)
     H: jnp.ndarray               # (..., n_used, 2) f32 (re, im) on device; the
                                  # host wrappers convert to (..., n_used) complex64.
                                  # (The axon TPU PJRT cannot transfer complex
@@ -121,17 +124,19 @@ class Modem:
         return jnp.concatenate(parts, axis=-1)
 
     # ------------------------------------------------------- device: receive
-    def _demod_at(self, rx: jnp.ndarray, start: jnp.ndarray,
+    def _eq_stage(self, rx: jnp.ndarray, start: jnp.ndarray,
                   R: Optional[jnp.ndarray] = None, nfft: Optional[int] = None):
-        """Demodulate frames whose chirp onset is `start`. rx: (..., T),
-        start: (...,) int32 → (llr (..., raw_bits), diag pieces).
+        """Sync-position → equalized, phase-tracked data symbols.
 
+        rx: (..., T), start: (...,) int32 → (data (..., D, n_data_bins)
+        complex, nv_eff (..., n_data_bins), (H, noise_var, slope, cpe)).
         The data-dependent frame cut uses the FFT shift theorem on the
         recording spectrum (see `extract_windows_spec`) — pass R/nfft to
         reuse the matched filter's rfft."""
         from ..ops.sync import extract_windows_spec, rx_spectrum, sync_nfft
+        from .frame import split_pilots
 
-        cfg, lay = self.cfg, self.lay
+        cfg = self.cfg
         T = rx.shape[-1]
         n_sym = cfg.n_known_symbols + cfg.n_data_symbols
         need = n_sym * cfg.symbol_len
@@ -149,10 +154,17 @@ class Modem:
         eq = equalize(H, Y[..., cfg.n_known_symbols:, :])
         eq, slope, cpe = pilot_phase_correct(cfg, eq)
 
-        from .frame import split_pilots
         _, data = split_pilots(cfg, eq)                        # (..., D, n_data_bins)
         csi = jnp.abs(H) ** 2
         _, nv_eff = split_pilots(cfg, noise_var[..., None] / jnp.maximum(csi, 1e-12))
+        return data, nv_eff, (H, noise_var, slope, cpe)
+
+    def _demod_at(self, rx: jnp.ndarray, start: jnp.ndarray,
+                  R: Optional[jnp.ndarray] = None, nfft: Optional[int] = None):
+        """Demodulate frames whose chirp onset is `start`. rx: (..., T),
+        start: (...,) int32 → (llr (..., raw_bits), diag pieces)."""
+        cfg = self.cfg
+        data, nv_eff, (H, noise_var, slope, cpe) = self._eq_stage(rx, start, R, nfft)
         llr3 = qam_demap_llr(
             data, jnp.broadcast_to(nv_eff[..., None, :], data.shape), cfg.bits_per_symbol
         )
@@ -160,6 +172,26 @@ class Modem:
         evm = jnp.mean(jnp.abs(data - qam_map(hard, cfg.bits_per_symbol)) ** 2, axis=(-2, -1))
         llr = llr3.reshape(*rx.shape[:-1], cfg.raw_bits_per_frame)
         return llr, (H, noise_var, slope, cpe, evm)
+
+    def equalized_symbols(self, rx: np.ndarray, start: Optional[int] = None) -> np.ndarray:
+        """Host API for constellation plots/analysis: the equalized,
+        phase-tracked data symbols of one recording → (..., D, n_data_bins)
+        complex64 (SURVEY.md §5c visual checks)."""
+        rx = jnp.asarray(np.asarray(rx, dtype=np.float32))
+
+        def fn(r, s):
+            data, _, _ = self._eq_stage(r, s)
+            return jnp.stack([data.real, data.imag], axis=-1)
+
+        if start is None:
+            def fn_sync(r):
+                s, _ = find_frame_start(self.cfg, r, self.chirp)
+                return fn(r, s)
+            out = jax.jit(fn_sync)(rx)
+        else:
+            out = jax.jit(fn)(rx, jnp.int32(start))
+        out = np.asarray(out)
+        return (out[..., 0] + 1j * out[..., 1]).astype(np.complex64)
 
     def _bits_from_llr(self, llr: jnp.ndarray) -> jnp.ndarray:
         """Channel LLRs (..., raw_bits) → info bits (..., payload_bits)."""
@@ -173,6 +205,16 @@ class Modem:
             return info.reshape(*lead, cfg.payload_bits_per_frame)
         return hard_bits(llr)
 
+    def _sc_check(self, rx: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+        """SC-symbol presence metric at the synced position (≈1 on a frame)."""
+        from ..ops.sync import sc_metric_at
+
+        cfg = self.cfg
+        if not cfg.use_schmidl_cox:
+            return jnp.zeros(rx.shape[:-1], jnp.float32)
+        body = jnp.broadcast_to(start, rx.shape[:-1]) + cfg.chirp_len + cfg.cp
+        return sc_metric_at(cfg, rx, body).astype(jnp.float32)
+
     def demodulate_at(self, rx: jnp.ndarray, start: jnp.ndarray):
         """Decode with known frame start (loopback paths, BASELINE.json:7)."""
         llr, (H, nv, slope, cpe, evm) = self._demod_at(rx, start)
@@ -180,6 +222,7 @@ class Modem:
         diag = DecodeDiag(
             sync_start=jnp.broadcast_to(start, rx.shape[:-1]).astype(jnp.int32),
             sync_metric=jnp.full(rx.shape[:-1], jnp.inf, jnp.float32),
+            sc_metric=self._sc_check(rx, start),
             H=jnp.stack([H.real, H.imag], axis=-1).astype(jnp.float32),
             noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
             mean_abs_llr=jnp.mean(jnp.abs(llr), axis=-1),
@@ -202,6 +245,7 @@ class Modem:
         bits = self._bits_from_llr(llr)
         diag = DecodeDiag(
             sync_start=start.astype(jnp.int32), sync_metric=metric,
+            sc_metric=self._sc_check(rx, start),
             H=jnp.stack([H.real, H.imag], axis=-1).astype(jnp.float32),
             noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
             mean_abs_llr=jnp.mean(jnp.abs(llr), axis=-1),

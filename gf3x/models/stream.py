@@ -21,7 +21,10 @@ from ..ops.sync import matched_filter
 from ..utils.bits import HEADER_OVERHEAD
 from .modem import DecodeResult, Modem
 
-__all__ = ["encode_file", "find_frames", "decode_stream", "StreamResult", "frame_capacity"]
+__all__ = [
+    "encode_file", "encode_frames", "find_frames", "decode_stream",
+    "merge_streams", "StreamResult", "frame_capacity",
+]
 
 
 def frame_capacity(modem: Modem, filename: str = "") -> int:
@@ -52,6 +55,53 @@ def encode_file(
         if i != total - 1:
             parts.append(gap)
     return np.concatenate(parts)
+
+
+def encode_frames(
+    modem: Modem, data: bytes, seqs: list[int],
+    filename: str = "", gap_s: float = 0.05,
+) -> np.ndarray:
+    """Re-encode only the selected frames of a transfer (selective
+    retransmission: the recovery loop for `StreamResult.missing` —
+    SURVEY.md §6.3, FEC/CRC as failure detection, retransmit as recovery)."""
+    cap = frame_capacity(modem, filename)
+    chunks = [data[i: i + cap] for i in range(0, max(len(data), 1), cap)]
+    total = len(chunks)
+    bad = [s for s in seqs if not 0 <= s < total]
+    if bad:
+        raise ValueError(f"seqs {bad} out of range for a {total}-frame transfer")
+    wavs = modem.encode_batch(
+        [chunks[s] for s in seqs], filenames=[filename] * len(seqs),
+        seqs=list(seqs), total=total,
+    )
+    gap = np.zeros(int(round(gap_s * modem.cfg.fs)), dtype=np.float32)
+    parts: list[np.ndarray] = []
+    for i in range(len(seqs)):
+        parts.append(wavs[i])
+        if i != len(seqs) - 1:
+            parts.append(gap)
+    return np.concatenate(parts)
+
+
+def merge_streams(*results: "StreamResult") -> "StreamResult":
+    """Combine partial receptions (original + retransmissions) of one
+    transfer into a single result."""
+    frames = [r for res in results for r in res.frames]
+    starts = np.concatenate([res.starts for res in results]) if results else np.zeros(0, np.int64)
+    good = [r for r in frames if r.crc_ok]
+    if not good:
+        return StreamResult(payload=None, filename="", complete=False,
+                            frames=frames, starts=starts)
+    total = max(r.total for r in good)
+    by_seq: dict[int, DecodeResult] = {}
+    for r in good:
+        by_seq.setdefault(r.seq, r)
+    missing = [s for s in range(total) if s not in by_seq]
+    complete = not missing
+    payload = b"".join(by_seq[s].payload for s in range(total)) if complete else None
+    return StreamResult(payload=payload, filename=good[0].filename,
+                        complete=complete, frames=frames, starts=starts,
+                        missing=missing)
 
 
 def find_frames(

@@ -138,3 +138,28 @@ def schmidl_cox_metric(cfg: ModemConfig, rx: jnp.ndarray) -> jnp.ndarray:
     # energy floor: near-silent windows otherwise spike to M ≈ 1 on noise
     R = jnp.maximum(R, 0.05 * jnp.max(R, axis=-1, keepdims=True) + 1e-24)
     return (P * P) / (R * R)
+
+
+def sc_metric_at(cfg: ModemConfig, rx: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Schmidl–Cox metric evaluated at one (per-row, data-dependent) lag —
+    the second sync opinion: M ≈ 1 exactly when the repeated-half SC symbol
+    sits at `d` (frame-presence validation for the decode diagnostics).
+
+    rx: (..., T); d: (...,) int32 window start (clipped). Returns (...,) f32.
+    """
+    half = cfg.n_fft // 2
+    prod = rx[..., :-half] * rx[..., half:]
+    energy = rx[..., half:] ** 2
+    zero = jnp.zeros(rx.shape[:-1] + (1,), dtype=rx.dtype)
+    cs_p = jnp.concatenate([zero, jnp.cumsum(prod, axis=-1)], axis=-1)
+    cs_r = jnp.concatenate([zero, jnp.cumsum(energy, axis=-1)], axis=-1)
+    hi = cs_p.shape[-1] - 1
+    d = jnp.clip(d, 0, max(hi - half, 0))
+    du = d[..., None]
+    P = (jnp.take_along_axis(cs_p, du + half, axis=-1)
+         - jnp.take_along_axis(cs_p, du, axis=-1))[..., 0]
+    R = (jnp.take_along_axis(cs_r, du + half, axis=-1)
+         - jnp.take_along_axis(cs_r, du, axis=-1))[..., 0]
+    tot_e = cs_r[..., -1] - cs_r[..., 0]
+    R = jnp.maximum(R, 0.01 * tot_e / max(rx.shape[-1] // half, 1) + 1e-24)
+    return (P * P) / (R * R)
