@@ -160,10 +160,19 @@ class Modem:
         return data, nv_eff, (H, noise_var, slope, cpe)
 
     def _demod_at(self, rx: jnp.ndarray, start: jnp.ndarray,
-                  R: Optional[jnp.ndarray] = None, nfft: Optional[int] = None):
+                  R: Optional[jnp.ndarray] = None, nfft: Optional[int] = None,
+                  use_pallas: Optional[bool] = None):
         """Demodulate frames whose chirp onset is `start`. rx: (..., T),
-        start: (...,) int32 → (llr (..., raw_bits), diag pieces)."""
+        start: (...,) int32 → (llr (..., raw_bits), diag pieces).
+
+        On TPU (strided pilot layouts) the post-FFT chain — EQ, pilot
+        tracking, derotation, demap, EVM — runs as the fused Pallas kernel
+        (`ops.pallas.fused_eq`); elsewhere as the XLA twin."""
         cfg = self.cfg
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu" and cfg.strided_pilots
+        if use_pallas:
+            return self._demod_at_fused(rx, start, R, nfft)
         data, nv_eff, (H, noise_var, slope, cpe) = self._eq_stage(rx, start, R, nfft)
         llr3 = qam_demap_llr(
             data, jnp.broadcast_to(nv_eff[..., None, :], data.shape), cfg.bits_per_symbol
@@ -171,6 +180,49 @@ class Modem:
         hard = hard_bits(llr3)
         evm = jnp.mean(jnp.abs(data - qam_map(hard, cfg.bits_per_symbol)) ** 2, axis=(-2, -1))
         llr = llr3.reshape(*rx.shape[:-1], cfg.raw_bits_per_frame)
+        return llr, (H, noise_var, slope, cpe, evm)
+
+    def _demod_at_fused(self, rx: jnp.ndarray, start: jnp.ndarray,
+                        R: Optional[jnp.ndarray], nfft: Optional[int],
+                        interpret: bool = False):
+        """TPU path of `_demod_at`: window cut + FFT + LS estimate in XLA,
+        then the fused EQ/track/demap Pallas kernel per (symbol, lane-block)."""
+        from ..ops.pallas.fused_eq import LANES, fused_eq_demap_tpu
+        from ..ops.sync import extract_windows_spec, rx_spectrum, sync_nfft
+
+        cfg = self.cfg
+        lead = rx.shape[:-1]
+        T = rx.shape[-1]
+        n_sym = cfg.n_known_symbols + cfg.n_data_symbols
+        need = n_sym * cfg.symbol_len
+        backoff = cfg.cp // 4
+        ofdm_start = jnp.clip(start + cfg.preamble_len - backoff, 0, max(T - need, 0))
+        ofdm_start = jnp.broadcast_to(ofdm_start, lead)
+        if R is None:
+            nfft = sync_nfft(T, 0)
+            R = rx_spectrum(rx, nfft)
+        window = extract_windows_spec(R, ofdm_start, need, nfft)
+        Y = ofdm_demodulate(cfg, window)                       # (..., K+D, n_used)
+        H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
+
+        B = int(np.prod(lead)) if lead else 1
+        Bp = -(-B // LANES) * LANES
+        D = cfg.n_data_symbols
+        Yd = Y[..., cfg.n_known_symbols:, :].reshape(B, D, cfg.n_used)
+        y_ri = jnp.stack([Yd.real, Yd.imag], axis=1).transpose(2, 1, 3, 0)
+        h_ri = jnp.stack([H.real, H.imag], axis=0).reshape(2, B, cfg.n_used).transpose(0, 2, 1)
+        nv8 = jnp.zeros((8, B), jnp.float32).at[0].set(noise_var.reshape(B))
+        if Bp != B:
+            y_ri = jnp.pad(y_ri, ((0, 0), (0, 0), (0, 0), (0, Bp - B)))
+            h_ri = jnp.pad(h_ri, ((0, 0), (0, 0), (0, Bp - B)),
+                           constant_values=1.0)
+            nv8 = jnp.pad(nv8, ((0, 0), (0, Bp - B)), constant_values=1.0)
+        llr_p, diag_p = fused_eq_demap_tpu(cfg, y_ri, h_ri, nv8, interpret)
+        nbits = cfg.n_data_bins * cfg.bits_per_symbol
+        llr = llr_p[:, :nbits, :B].transpose(2, 0, 1).reshape(*lead, cfg.raw_bits_per_frame)
+        slope = diag_p[:, 0, :B].T.reshape(*lead, D)
+        cpe = diag_p[:, 1, :B].T.reshape(*lead, D)
+        evm = jnp.mean(diag_p[:, 2, :B], axis=0).reshape(lead)
         return llr, (H, noise_var, slope, cpe, evm)
 
     def equalized_symbols(self, rx: np.ndarray, start: Optional[int] = None) -> np.ndarray:

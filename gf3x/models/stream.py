@@ -109,6 +109,7 @@ def find_frames(
     rx: np.ndarray,
     max_frames: Optional[int] = None,
     threshold: float = 0.4,
+    streaming_chunk: Optional[int] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Locate every frame onset in a recording → (starts, ncc_metrics).
 
@@ -121,11 +122,18 @@ def find_frames(
     (A bare peak/median ratio cannot: data symbols correlate at 10×+ the
     floor on long recordings.)
     """
+    from ..ops.sync import streaming_matched_filter
+
     cfg = modem.cfg
     rx32 = np.asarray(rx, dtype=np.float32)
-    mabs = np.abs(np.asarray(jax.jit(
-        lambda r: matched_filter(r, modem.chirp)
-    )(jnp.asarray(rx32))))
+    if streaming_chunk:
+        # overlap-save path: O(chunk) device memory for arbitrarily long
+        # recordings (SURVEY.md §6.7)
+        mf = jax.jit(lambda r: streaming_matched_filter(r, modem.chirp,
+                                                        streaming_chunk))
+    else:
+        mf = jax.jit(lambda r: matched_filter(r, modem.chirp))
+    mabs = np.abs(np.asarray(mf(jnp.asarray(rx32))))
     L = cfg.chirp_len
     ce = float(np.sum(modem.chirp**2))
     cs = np.concatenate([[0.0], np.cumsum(rx32.astype(np.float64) ** 2)])

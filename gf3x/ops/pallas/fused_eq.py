@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: fused one-tap EQ + pilot phase tracking + QAM demap.
+
+BASELINE.json's north star names this fusion explicitly: "pilot-based
+least-squares channel estimation and one-tap frequency-domain equalization
+fuse into a single complex-arithmetic kernel". The LS estimate itself is a
+tiny mean over K known symbols (left to XLA); everything per *data* symbol —
+complex EQ, pilot-slope/CPE regression, derotation, max-log LLRs, EVM —
+happens here in one VMEM pass per (symbol, lane-block), instead of ~15
+separate XLA ops streaming the symbol matrix through HBM.
+
+Complex numbers are (re, im) float32 planes (pallas TPU has no complex
+dtype); `atan2` is not lowered by Mosaic, so it is implemented inline
+(odd minimax polynomial + quadrant fixup, |err| < 1e-4 rad — far below the
+phase-tracking noise floor).
+
+Layouts: lanes carry the frame batch (128 per grid step), sublanes carry
+bins; the strided pilot grid (config.strided_pilots) makes pilot/data
+separation a sublane reshape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import ModemConfig, layout
+from ..constellation import pam_label_levels, qam_norm
+
+__all__ = ["fused_eq_demap_tpu", "LANES"]
+
+LANES = 128
+
+
+def _atan2(y, x):
+    """Elementwise atan2 for the VPU (Mosaic has no atan2 primitive).
+
+    atan(t) on [0,1] via an odd minimax polynomial, then octant fixup.
+    """
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)
+    s = t * t
+    # minimax for atan(t)/t on [0,1], max err ~1e-5 rad
+    p = 0.0208351
+    p = p * s - 0.085133
+    p = p * s + 0.180141
+    p = p * s - 0.3302995
+    p = p * s + 0.999866
+    r = t * p
+    r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _make_kernel(cfg: ModemConfig, LP: int):
+    lay = layout(cfg)
+    n_used, n_pil, sp = cfg.n_used, cfg.n_pilots, cfg.pilot_spacing
+    bps = cfg.bits_per_symbol
+    m = bps // 2
+    lv = [float(v) for v in pam_label_levels(m) * qam_norm(bps)]  # by label int
+    mean_dk = np.float32(np.mean(np.diff(lay.pilot_pos.astype(np.float64))))
+    n_data = cfg.n_data_bins
+
+    def kernel(y_ref, h_ref, nv_ref, pv_ref, llr_ref, diag_ref):
+        # static index ramps (pallas kernels cannot close over arrays;
+        # tpu.iota is integer-only — cast after)
+        kpil = (jax.lax.broadcasted_iota(jnp.int32, (n_pil, 1), 0)
+                .astype(jnp.float32) * jnp.float32(sp))           # pilot_offset=0
+        kk = jax.lax.broadcasted_iota(jnp.int32, (n_used, 1), 0).astype(jnp.float32)
+        pvr = pv_ref[0]                                           # (P, 1)
+        pvi = pv_ref[1]
+        yr, yi = y_ref[0, 0], y_ref[0, 1]                         # (n_used, L)
+        hr, hi = h_ref[0], h_ref[1]
+        h2 = hr * hr + hi * hi
+        inv = 1.0 / jnp.maximum(h2, 1e-12)
+        er = (yr * hr + yi * hi) * inv                            # eq = Y·H*/|H|²
+        ei = (yi * hr - yr * hi) * inv
+
+        # ---- pilot phase regression (slope a, intercept b)
+        err3 = er.reshape(n_pil, sp, LANES)
+        eri3 = ei.reshape(n_pil, sp, LANES)
+        pr, pi_ = err3[:, 0], eri3[:, 0]                          # (P, L)
+        zr = pr * pvr + pi_ * pvi                                 # z = X̂_p·p*
+        zi = pi_ * pvr - pr * pvi
+        ir = jnp.sum(zr[1:] * zr[:-1] + zi[1:] * zi[:-1], axis=0, keepdims=True)
+        ii = jnp.sum(zi[1:] * zr[:-1] - zr[1:] * zi[:-1], axis=0, keepdims=True)
+        a = _atan2(ii, ir) / mean_dk                              # (1, L) rad/bin
+        ph = a * kpil                                             # (P, L)
+        ca, sa = jnp.cos(ph), jnp.sin(ph)
+        wr = jnp.sum(zr * ca + zi * sa, axis=0, keepdims=True)    # Σ z·e^{-iφ}
+        wi = jnp.sum(zi * ca - zr * sa, axis=0, keepdims=True)
+        b = _atan2(wi, wr)                                        # (1, L)
+
+        # ---- derotate all used bins by e^{-i(a·k + b)}
+        phase = a * kk + b                                        # (n_used, L)
+        cp_, sp_ = jnp.cos(phase), jnp.sin(phase)
+        er2 = er * cp_ + ei * sp_
+        ei2 = ei * cp_ - er * sp_
+
+        # ---- data slots + effective noise
+        dr = er2.reshape(n_pil, sp, LANES)[:, 1:].reshape(n_data, LANES)
+        di = ei2.reshape(n_pil, sp, LANES)[:, 1:].reshape(n_data, LANES)
+        h2d = h2.reshape(n_pil, sp, LANES)[:, 1:].reshape(n_data, LANES)
+        nv = nv_ref[0:1, :]                                       # (1, L) -> bcast
+        nv_eff = jnp.maximum(nv / jnp.maximum(h2d, 1e-12), 1e-12)
+        inv_nv = 1.0 / nv_eff
+
+        # ---- max-log demap per axis (static level set) + EVM
+        def axis(x):
+            ds = [(x - v) ** 2 for v in lv]                       # per label int
+            outs = []
+            for j in range(m):
+                d0 = None
+                d1 = None
+                for lbl, d in enumerate(ds):
+                    if (lbl >> (m - 1 - j)) & 1:
+                        d1 = d if d1 is None else jnp.minimum(d1, d)
+                    else:
+                        d0 = d if d0 is None else jnp.minimum(d0, d)
+                outs.append((d1 - d0) * inv_nv)
+            md = ds[0]
+            for d in ds[1:]:
+                md = jnp.minimum(md, d)
+            return outs, md
+
+        lre, mdr = axis(dr)
+        lim, mdi = axis(di)
+        # bit order: I-axis bits then Q-axis, per bin (matches qam_demap_llr)
+        bits = jnp.stack(lre + lim, axis=1)                       # (n_data, bps, L)
+        llr = bits.reshape(n_data * bps, LANES)
+        pad = LP - n_data * bps
+        if pad:
+            llr = jnp.concatenate(
+                [llr, jnp.zeros((pad, LANES), jnp.float32)], axis=0)
+        llr_ref[0] = llr
+
+        evm = jnp.mean(mdr + mdi, axis=0, keepdims=True)          # (1, L)
+        diag_ref[0] = jnp.concatenate(
+            [a, b, evm, jnp.zeros((5, LANES), jnp.float32)], axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def fused_eq_demap_tpu(cfg: ModemConfig, y_ri: jnp.ndarray, h_ri: jnp.ndarray,
+                       nv: jnp.ndarray, interpret: bool = False):
+    """y_ri: (D, 2, n_used, B) data-symbol bins (re,im); h_ri: (2, n_used, B);
+    nv: (8, B) noise variance in row 0. B % 128 == 0.
+
+    Returns (llr (D, LP, B) with LP = roundup(n_data_bins·bps, 8) — caller
+    slices/reshapes — and diag (D, 8, B): rows 0..2 = slope, cpe, evm).
+    """
+    D, _, n_used, B = y_ri.shape
+    assert B % LANES == 0
+    LP = -(-cfg.n_data_bins * cfg.bits_per_symbol // 8) * 8
+    kern = _make_kernel(cfg, LP)
+    lay = layout(cfg)
+    pv_ri = jnp.asarray(np.stack([
+        lay.pilot_vals.real.astype(np.float32)[:, None],
+        lay.pilot_vals.imag.astype(np.float32)[:, None],
+    ]))                                                           # (2, P, 1)
+    grid = (D, B // LANES)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, n_used, LANES), lambda d, g: (d, 0, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n_used, LANES), lambda d, g: (0, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda d, g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cfg.n_pilots, 1), lambda d, g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, LP, LANES), lambda d, g: (d, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda d, g: (d, 0, g),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((D, LP, B), jnp.float32),
+            jax.ShapeDtypeStruct((D, 8, B), jnp.float32),
+        ),
+        interpret=interpret,
+    )(y_ri, h_ri, nv, pv_ri)

@@ -20,8 +20,10 @@ from ..config import ModemConfig
 __all__ = [
     "matched_filter",
     "matched_filter_spec",
+    "streaming_matched_filter",
     "find_frame_start",
     "schmidl_cox_metric",
+    "sc_metric_at",
     "sync_nfft",
     "rx_spectrum",
     "extract_windows_spec",
@@ -60,6 +62,35 @@ def matched_filter(rx: jnp.ndarray, chirp: np.ndarray) -> jnp.ndarray:
     T = rx.shape[-1]
     nfft = sync_nfft(T, len(chirp))
     return matched_filter_spec(rx_spectrum(rx, nfft), chirp, T, nfft)
+
+
+def streaming_matched_filter(rx: jnp.ndarray, chirp: np.ndarray,
+                             chunk: int = 1 << 15) -> jnp.ndarray:
+    """Overlap-save matched filter: the unbounded-recording sync path
+    (SURVEY.md §6.7 — "overlap-save FFT cross-correlation ... fixed-size
+    chunks, running state carried in a lax.scan").
+
+    Identical output to `matched_filter` (up to FFT rounding) but works in
+    fixed-size segments: memory is O(chunk + chirp) regardless of recording
+    length, instead of one next-pow2(T) FFT workspace. rx: (..., T) → (..., T).
+    """
+    *lead, T = rx.shape
+    L = len(chirp)
+    n_chunks = -(-T // chunk)
+    F = _next_pow2(chunk + L)
+    c_f = jnp.asarray(np.conj(np.fft.rfft(chirp, F)).astype(np.complex64))
+    pad = n_chunks * chunk + L - T
+    rx_pad = jnp.pad(rx, [(0, 0)] * len(lead) + [(0, pad)])
+
+    def body(carry, i):
+        seg = jax.lax.dynamic_slice_in_dim(rx_pad, i * chunk, chunk + L, axis=-1)
+        m = jnp.fft.irfft(jnp.fft.rfft(seg, F, axis=-1) * c_f, F, axis=-1)
+        return carry, m[..., :chunk].astype(jnp.float32)
+
+    _, ms = jax.lax.scan(body, 0, jnp.arange(n_chunks))
+    # scan stacks on axis 0 → (n_chunks, ..., chunk); move chunks last
+    ms = jnp.moveaxis(ms, 0, -2).reshape(*lead, n_chunks * chunk)
+    return ms[..., :T]
 
 
 def extract_windows_spec(
