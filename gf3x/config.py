@@ -25,6 +25,8 @@ __all__ = [
     "layout",
     "Layout",
     "GF3_STANDARD",
+    "GF3_FAST",
+    "GF3_ROBUST",
     "CONFIG1_LOOPBACK",
     "preset",
 ]
@@ -307,11 +309,29 @@ GF3_STANDARD = ModemConfig(
     n_data_symbols=20,
 ).validate()
 
+# Higher-rate variant: 16-QAM doubles the bit rate at ~6 dB more required
+# SNR; same LDPC code, 8 codewords per frame (1152 B / 0.98 s ≈ 9.4 kbit/s).
+GF3_FAST = GF3_STANDARD.replace(bits_per_symbol=4)
+
+# Robustness-first variant: denser pilots (spacing 4), longer known preamble,
+# fewer data symbols — for harsh rooms and cheap speakers.
+GF3_ROBUST = ModemConfig(
+    fec="ldpc",
+    ldpc_z=96,
+    pilot_spacing=4,
+    n_known_symbols=8,
+    n_data_symbols=12,
+    bin_lo=24,
+    bin_hi=303,
+).validate()
+
 _PRESETS = {
     "config1": CONFIG1_LOOPBACK,
     "loopback": CONFIG1_LOOPBACK,
     "gf3": GF3_STANDARD,
     "gf3-standard": GF3_STANDARD,
+    "gf3-fast": GF3_FAST,
+    "gf3-robust": GF3_ROBUST,
 }
 
 

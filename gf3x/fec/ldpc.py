@@ -180,7 +180,8 @@ class LdpcCode:
         lam = llr.reshape(-1, self.n).astype(jnp.float32)
         B = lam.shape[0]
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            from ..utils.device import computation_on_tpu
+            use_pallas = computation_on_tpu()
         if use_pallas:
             from ..ops.pallas.ldpc_bp import LANES, minsum_totals_tpu
             Bp = -(-B // LANES) * LANES

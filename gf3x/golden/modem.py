@@ -216,9 +216,12 @@ class GoldenModem:
         """Residual phase/timing-drift correction from pilot phase slopes.
 
         Per data symbol fit ∠(X̂_pilot·p*) ≈ a·k + b (SURVEY.md Appendix
-        "Pilot phase tracking"); slope from adjacent-pilot phase increments
-        (unwrap-free), intercept from the slope-compensated pilot average.
-        Returns (corrected, slope_per_bin a, intercept b).
+        "Pilot phase tracking"), two-stage: a coarse slope from
+        adjacent-pilot increments (unwrap-free, unambiguous to ±π/spacing)
+        is refined on the half-band baseline — slope noise scales with
+        1/baseline, and a noisy slope corrupts band edges by ±a_err·k
+        radians (the intercept only recenters the tilt at the pilot
+        centroid). Returns (corrected, slope_per_bin a, intercept b).
         """
         c, lay = self.cfg, self.lay
         if c.n_pilots < 2:
@@ -226,8 +229,18 @@ class GoldenModem:
         z = eq[:, lay.pilot_pos] * np.conj(lay.pilot_vals)[None, :]   # (D, P)
         dk = np.diff(lay.pilot_pos.astype(np.float64))                # (P-1,)
         inc = z[:, 1:] * np.conj(z[:, :-1])                           # (D, P-1)
-        a = np.angle(np.sum(inc, axis=1)) / float(np.mean(dk))        # rad/bin
+        a = np.angle(np.sum(inc, axis=1)) / float(np.mean(dk))        # coarse
         k = lay.pilot_pos.astype(np.float64)[None, :]
+        # baseline ladder: each refinement's ±π ambiguity range must cover
+        # the previous stage's noise (a single long-baseline step aliases
+        # when coarse_err · baseline > π — observed as whole symbols rotated
+        # by ~π/2 at moderate SNR)
+        P = c.n_pilots
+        for Q in sorted({max(2, P // 8), P // 2}):
+            zd = z * np.exp(-1j * a[:, None] * k)
+            corr = np.sum(zd[:, Q:] * np.conj(zd[:, :-Q]), axis=1)
+            base = float(np.mean(k[0, Q:] - k[0, :-Q]))
+            a = a + np.angle(corr) / base
         b = np.angle(np.sum(z * np.exp(-1j * a[:, None] * k), axis=1))
         kk = np.arange(c.n_used, dtype=np.float64)[None, :]
         corr = np.exp(-1j * (a[:, None] * kk + b[:, None]))

@@ -170,7 +170,8 @@ class Modem:
         (`ops.pallas.fused_eq`); elsewhere as the XLA twin."""
         cfg = self.cfg
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu" and cfg.strided_pilots
+            from ..utils.device import computation_on_tpu
+            use_pallas = computation_on_tpu() and cfg.strided_pilots
         if use_pallas:
             return self._demod_at_fused(rx, start, R, nfft)
         data, nv_eff, (H, noise_var, slope, cpe) = self._eq_stage(rx, start, R, nfft)

@@ -56,8 +56,17 @@ def pilot_phase_correct(cfg: ModemConfig, eq: jnp.ndarray):
     z = pil * jnp.conj(pvals)                            # (..., D, P)
     mean_dk = np.float32(np.mean(np.diff(lay.pilot_pos.astype(np.float64))))
     inc = z[..., 1:] * jnp.conj(z[..., :-1])
-    a = jnp.angle(jnp.sum(inc, axis=-1)) / mean_dk       # rad/bin, (..., D)
+    a = jnp.angle(jnp.sum(inc, axis=-1)) / mean_dk       # coarse, (..., D)
     k = jnp.asarray(lay.pilot_pos.astype(np.float32))
+    # baseline ladder (see the golden twin): each refinement stays within
+    # the previous stage's ±π/baseline ambiguity range
+    P = cfg.n_pilots
+    kp = lay.pilot_pos.astype(np.float64)
+    for Q in sorted({max(2, P // 8), P // 2}):
+        zd = z * jnp.exp(-1j * a[..., None] * k)
+        corr = jnp.sum(zd[..., Q:] * jnp.conj(zd[..., :-Q]), axis=-1)
+        base = np.float32(np.mean(kp[Q:] - kp[:-Q]))
+        a = a + jnp.angle(corr) / base
     b = jnp.angle(jnp.sum(z * jnp.exp(-1j * a[..., None] * k), axis=-1))
     kk = jnp.arange(cfg.n_used, dtype=jnp.float32)
     corr = jnp.exp(-1j * (a[..., None] * kk + b[..., None]))

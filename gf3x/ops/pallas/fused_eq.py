@@ -65,6 +65,11 @@ def _make_kernel(cfg: ModemConfig, LP: int):
     m = bps // 2
     lv = [float(v) for v in pam_label_levels(m) * qam_norm(bps)]  # by label int
     mean_dk = np.float32(np.mean(np.diff(lay.pilot_pos.astype(np.float64))))
+    _kp = lay.pilot_pos.astype(np.float64)
+    ladder = [
+        (Q, float(np.mean(_kp[Q:] - _kp[:-Q])))
+        for Q in sorted({max(2, cfg.n_pilots // 8), cfg.n_pilots // 2})
+    ]
     n_data = cfg.n_data_bins
 
     def kernel(y_ref, h_ref, nv_ref, pv_ref, llr_ref, diag_ref):
@@ -90,7 +95,19 @@ def _make_kernel(cfg: ModemConfig, LP: int):
         zi = pi_ * pvr - pr * pvi
         ir = jnp.sum(zr[1:] * zr[:-1] + zi[1:] * zi[:-1], axis=0, keepdims=True)
         ii = jnp.sum(zi[1:] * zr[:-1] - zr[1:] * zi[:-1], axis=0, keepdims=True)
-        a = _atan2(ii, ir) / mean_dk                              # (1, L) rad/bin
+        a = _atan2(ii, ir) / mean_dk                              # coarse rad/bin
+        # baseline ladder (matches the XLA twin): each refinement stays
+        # within the previous stage's ±π/baseline ambiguity range
+        for Q, base in ladder:
+            ph0 = a * kpil                                        # (P, L)
+            c0, s0 = jnp.cos(ph0), jnp.sin(ph0)
+            zdr = zr * c0 + zi * s0                               # z·e^{-i a k}
+            zdi = zi * c0 - zr * s0
+            cr = jnp.sum(zdr[Q:] * zdr[:-Q] + zdi[Q:] * zdi[:-Q],
+                         axis=0, keepdims=True)
+            ci = jnp.sum(zdi[Q:] * zdr[:-Q] - zdr[Q:] * zdi[:-Q],
+                         axis=0, keepdims=True)
+            a = a + _atan2(ci, cr) / jnp.float32(base)
         ph = a * kpil                                             # (P, L)
         ca, sa = jnp.cos(ph), jnp.sin(ph)
         wr = jnp.sum(zr * ca + zi * sa, axis=0, keepdims=True)    # Σ z·e^{-iφ}

@@ -81,6 +81,27 @@ def test_uncoded_fails_where_ldpc_survives(golden):
     assert not res_u.crc_ok
 
 
+def test_monte_carlo_robustness(modem):
+    """Decode success across many independent channel realizations: catches
+    estimator failure modes that single-seed tests miss (e.g. the pilot
+    slope-refinement aliasing that rotated whole symbols by ~π/2 on
+    specific room-IR draws)."""
+    rng = np.random.default_rng(99)
+    payload = bytes(rng.integers(0, 256, size=300, dtype=np.uint8))
+    wav = modem.encode(payload)
+    ok = 0
+    n = 15
+    for _ in range(n):
+        h = room_impulse_response(rng, rt60=0.035, drr_db=5.0)
+        rx = multipath(np.asarray(wav, np.float64), h)
+        rx = delay_gain(rx, int(rng.integers(500, 8000)), 0.5,
+                        total_len=len(wav) + 12000)
+        rx = awgn(rx, 18.0, rng)
+        res = modem.decode(rx)
+        ok += bool(res.crc_ok and res.payload == payload)
+    assert ok == n, f"only {ok}/{n} realizations decoded"
+
+
 def test_gf3_with_clipping_and_sfo(modem):
     """Speaker saturation + DAC/ADC clock offset on top of reverb+noise."""
     rng = np.random.default_rng(25)
