@@ -51,6 +51,9 @@ def ber_sweep(
         if fir is not None:
             wav = apply_fir(wav, jnp.asarray(np.asarray(fir, np.float32)))
         if delay_samples:
+            # room for the delayed frame: delay() preserves length, so the
+            # recording must grow or the frame tail silently truncates
+            wav = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, delay_samples)])
             wav = delay(wav, delay_samples)
         rx = awgn(key, wav, snrs[:, None])
         start = jnp.full(rx.shape[:-1], delay_samples, jnp.int32)

@@ -172,8 +172,10 @@ def cmd_info(args) -> int:
               f"{cfg.n_codewords} codewords, {cfg.ldpc_iters} iters")
     else:
         print("FEC              : none")
+    dur = cfg.frame_len / cfg.fs
     print(f"payload capacity : {frame_capacity(modem)} bytes/frame "
-          f"({8 * cfg.payload_bits_per_frame / (cfg.frame_len / cfg.fs) / 8:.0f} B/s raw)")
+          f"({cfg.payload_bits_per_frame / dur:.0f} bit/s = "
+          f"{cfg.payload_bits_per_frame / 8 / dur:.0f} B/s raw)")
     return 0
 
 

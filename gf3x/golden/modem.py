@@ -237,6 +237,8 @@ class GoldenModem:
         # by ~π/2 at moderate SNR)
         P = c.n_pilots
         for Q in sorted({max(2, P // 8), P // 2}):
+            if not 1 <= Q < P:       # degenerate pilot counts (P == 2)
+                continue
             zd = z * np.exp(-1j * a[:, None] * k)
             corr = np.sum(zd[:, Q:] * np.conj(zd[:, :-Q]), axis=1)
             base = float(np.mean(k[0, Q:] - k[0, :-Q]))

@@ -30,8 +30,8 @@ def read_wav(path: str | Path, expect_fs: int | None = 44100) -> tuple[np.ndarra
     fs, data = wavfile.read(str(path))
     if expect_fs is not None and fs != expect_fs:
         raise ValueError(f"{path}: sample rate {fs} != expected {expect_fs}")
-    if data.ndim == 2:
-        data = data.mean(axis=1)
+    # normalize BEFORE the stereo mixdown — mean() promotes to float and
+    # would make every PCM dtype miss its branch
     if data.dtype == np.int16:
         x = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
@@ -40,6 +40,8 @@ def read_wav(path: str | Path, expect_fs: int | None = 44100) -> tuple[np.ndarra
         x = (data.astype(np.float32) - 128.0) / 128.0
     else:
         x = data.astype(np.float32)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
     return x, fs
 
 

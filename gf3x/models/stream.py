@@ -198,22 +198,5 @@ def decode_stream(modem: Modem, rx: np.ndarray, threshold: float = 0.4) -> Strea
         r = modem._result(bits[i], d)
         results.append(r)
 
-    good = [r for r in results if r.crc_ok]
-    if not good:
-        return StreamResult(payload=None, filename="", complete=False,
-                            frames=results, starts=starts)
-    total = max(r.total for r in good)
-    by_seq: dict[int, DecodeResult] = {}
-    for r in good:
-        by_seq.setdefault(r.seq, r)
-    missing = [s for s in range(total) if s not in by_seq]
-    complete = not missing
-    payload = b"".join(by_seq[s].payload for s in range(total)) if complete else None
-    return StreamResult(
-        payload=payload,
-        filename=good[0].filename,
-        complete=complete,
-        frames=results,
-        starts=starts,
-        missing=missing,
-    )
+    return merge_streams(StreamResult(payload=None, filename="", complete=False,
+                                      frames=results, starts=starts))

@@ -63,6 +63,8 @@ def pilot_phase_correct(cfg: ModemConfig, eq: jnp.ndarray):
     P = cfg.n_pilots
     kp = lay.pilot_pos.astype(np.float64)
     for Q in sorted({max(2, P // 8), P // 2}):
+        if not 1 <= Q < P:           # degenerate pilot counts (P == 2)
+            continue
         zd = z * jnp.exp(-1j * a[..., None] * k)
         corr = jnp.sum(zd[..., Q:] * jnp.conj(zd[..., :-Q]), axis=-1)
         base = np.float32(np.mean(kp[Q:] - kp[:-Q]))

@@ -69,6 +69,7 @@ def _make_kernel(cfg: ModemConfig, LP: int):
     ladder = [
         (Q, float(np.mean(_kp[Q:] - _kp[:-Q])))
         for Q in sorted({max(2, cfg.n_pilots // 8), cfg.n_pilots // 2})
+        if 1 <= Q < cfg.n_pilots     # degenerate pilot counts (P == 2)
     ]
     n_data = cfg.n_data_bins
 

@@ -26,6 +26,47 @@ def test_streaming_equals_oneshot():
     assert np.max(np.abs(a - b)) < 1e-3 * np.max(np.abs(a))
 
 
+def test_window_extraction_exact_on_long_recordings():
+    """Regression: the shift-theorem ramp start·k must reduce mod nfft in
+    integer arithmetic — float32 loses ~0.7 rad once start·k ≳ 2²⁴ (a frame
+    near the end of a minute-long recording decoded to garbage)."""
+    from gf3x.ops.sync import extract_windows_spec, rx_spectrum, sync_nfft
+
+    rng = np.random.default_rng(3)
+    T = 1_500_000
+    rx = rng.standard_normal((T,)).astype(np.float32) * 0.1
+    start, need = T - 40_000, 8192
+    nfft = sync_nfft(T, 0)
+    R = rx_spectrum(jnp.asarray(rx), nfft)
+    win = np.asarray(extract_windows_spec(R, jnp.int32(start), need, nfft))
+    ref = rx[start: start + need]
+    assert np.max(np.abs(win - ref)) < 5e-3 * np.max(np.abs(ref))
+
+
+def test_ber_sweep_delay_beyond_cp():
+    """Regression: the sweep recording must grow by delay_samples or the
+    frame tail truncates and every SNR reports ~0.5 BER."""
+    from gf3x.bench.ber import ber_sweep
+
+    m = Modem(CFG)
+    res = ber_sweep(m, snrs_db=[30.0], n_trials=4, delay_samples=500)
+    assert res["ber_post_fec"][0] < 0.01
+
+
+def test_stereo_wav_normalized(tmp_path):
+    """Regression: PCM normalization must happen before the stereo mixdown."""
+    from scipy.io import wavfile
+    from gf3x.io import read_wav
+
+    rng = np.random.default_rng(4)
+    mono = (rng.standard_normal(4000) * 0.3).clip(-1, 1)
+    st = (np.stack([mono, mono], 1) * 32767).astype(np.int16)
+    wavfile.write(tmp_path / "st.wav", 44100, st)
+    x, _ = read_wav(tmp_path / "st.wav")
+    assert np.abs(x).max() <= 1.0
+    assert np.allclose(x, mono, atol=1e-3)
+
+
 def test_streaming_find_frames_on_long_recording():
     m = Modem(CFG)
     rng = np.random.default_rng(1)
