@@ -12,18 +12,16 @@ BASELINE.json:5: `encode(bytes) -> waveform`, `decode(waveform) -> bytes`).
 
 import os as _os
 
-# Persistent XLA compilation cache: compiles on the tunneled axon TPU take
-# minutes, so repeat CLI/bench invocations would otherwise recompile the
-# same programs every run. Opt out with GF3X_NO_COMPILE_CACHE=1.
-if not _os.environ.get("GF3X_NO_COMPILE_CACHE"):
+# Optional persistent XLA compilation cache (GF3X_COMPILE_CACHE=<dir>).
+# Off by default: the tunneled axon TPU compiles remotely and never hits the
+# cache, while the XLA:CPU AOT entries it stores re-load with mismatched
+# machine-feature sets on this host ("could lead to SIGILL" warnings).
+if _os.environ.get("GF3X_COMPILE_CACHE"):
     try:
         import jax as _jax
 
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.environ.get("GF3X_COMPILE_CACHE",
-                            _os.path.expanduser("~/.cache/gf3x_jax")),
-        )
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["GF3X_COMPILE_CACHE"])
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
