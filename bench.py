@@ -88,6 +88,22 @@ def main():
     audio_sec_per_step = B * rx.shape[-1] / cfg.fs
     rtf = audio_sec_per_step / dt
 
+    # secondary: demod-only throughput on pre-cut frame windows (the
+    # streaming receiver's steady state — sync runs once per arrival, the
+    # per-frame work is this path)
+    @jax.jit
+    def step_win(w):
+        b, _ = modem.demodulate_prewindowed(w)
+        return jnp.sum(b.astype(jnp.int32))
+
+    win = jax.device_put(jnp.asarray(rx[:, :cfg.frame_len]))
+    jax.device_get(step_win(win)); jax.device_get(step_win(win))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        jax.device_get(step_win(win))
+    dt_win = (time.perf_counter() - t0) / steps
+    win_sps = sym_per_step / dt_win
+
     # --- golden CPU baseline on the identical workload
     golden_sps = golden_symbols_per_sec(cfg, rx)
 
@@ -106,6 +122,7 @@ def main():
             "step_seconds": round(dt, 4),
             "frames_per_sec": round(B / dt, 1),
             "realtime_factor": round(rtf, 1),
+            "prewindowed_symbols_per_sec": round(win_sps, 1),
             "golden_cpu_symbols_per_sec": round(golden_sps, 1),
             "device": str(jax.devices()[0]),
         },

@@ -28,7 +28,7 @@ from ..ops.chirp import make_chirp
 from ..ops.constellation import hard_bits, qam_demap_llr, qam_map
 from ..ops.ofdm import ofdm_demodulate, ofdm_modulate
 from ..ops.sync import find_frame_start
-from ..utils.bits import bits_to_bytes, bytes_to_bits, pack_header, parse_header
+from ..utils.bits import bits_to_bytes, bytes_to_bits, pack_header
 from .frame import data_symbols_from_bits, frame_bin_matrix
 
 __all__ = ["Modem", "DecodeDiag", "DecodeResult"]
@@ -85,6 +85,7 @@ class Modem:
         self._encode_jit = jax.jit(self.modulate_frames)
         self._decode_jit = jax.jit(self.demodulate)
         self._decode_at_jit = jax.jit(self.demodulate_at)
+        self._decode_win_jit = jax.jit(self.demodulate_prewindowed)
 
     # ------------------------------------------------------ device: transmit
     def fec_encode(self, info_bits: jnp.ndarray) -> jnp.ndarray:
@@ -267,6 +268,52 @@ class Modem:
             return jnp.zeros(rx.shape[:-1], jnp.float32)
         body = jnp.broadcast_to(start, rx.shape[:-1]) + cfg.chirp_len + cfg.cp
         return sc_metric_at(cfg, rx, body).astype(jnp.float32)
+
+    def demodulate_prewindowed(self, windows: jnp.ndarray):
+        """Decode frames already cut at their chirp onset: windows
+        (..., frame_len) → (bits, DecodeDiag).
+
+        The streaming receiver slices exact frame windows on the host, so
+        the shift-theorem extraction (two full-recording FFTs) reduces to a
+        static slice — this path does only the per-symbol OFDM FFTs.
+        """
+        cfg = self.cfg
+        need = (cfg.n_known_symbols + cfg.n_data_symbols) * cfg.symbol_len
+        a = cfg.preamble_len - cfg.cp // 4   # a + need = frame_len − backoff
+        body = windows[..., a: a + need]
+        llr, (H, nv, slope, cpe, evm) = self._demod_prewindowed(body)
+        bits = self._bits_from_llr(llr)
+        zeros = jnp.zeros(windows.shape[:-1], jnp.int32)
+        diag = DecodeDiag(
+            sync_start=zeros,
+            sync_metric=jnp.full(windows.shape[:-1], jnp.inf, jnp.float32),
+            sc_metric=self._sc_check(windows, zeros),
+            H=jnp.stack([H.real, H.imag], axis=-1).astype(jnp.float32),
+            noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
+            mean_abs_llr=jnp.mean(jnp.abs(llr), axis=-1),
+        )
+        return bits, diag
+
+    def _demod_prewindowed(self, body: jnp.ndarray):
+        """Demap a CP-aligned OFDM body (..., (K+D)·symbol_len) — the common
+        tail of both decode paths, without window extraction."""
+        from .frame import split_pilots
+
+        cfg = self.cfg
+        Y = ofdm_demodulate(cfg, body)
+        H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
+        eq = equalize(H, Y[..., cfg.n_known_symbols:, :])
+        eq, slope, cpe = pilot_phase_correct(cfg, eq)
+        _, data = split_pilots(cfg, eq)
+        csi = jnp.abs(H) ** 2
+        _, nv_eff = split_pilots(cfg, noise_var[..., None] / jnp.maximum(csi, 1e-12))
+        llr3 = qam_demap_llr(
+            data, jnp.broadcast_to(nv_eff[..., None, :], data.shape), cfg.bits_per_symbol
+        )
+        hard = hard_bits(llr3)
+        evm = jnp.mean(jnp.abs(data - qam_map(hard, cfg.bits_per_symbol)) ** 2, axis=(-2, -1))
+        llr = llr3.reshape(*body.shape[:-1], cfg.raw_bits_per_frame)
+        return llr, (H, noise_var, slope, cpe, evm)
 
     def demodulate_at(self, rx: jnp.ndarray, start: jnp.ndarray):
         """Decode with known frame start (loopback paths, BASELINE.json:7)."""

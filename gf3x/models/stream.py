@@ -189,8 +189,9 @@ def decode_stream(modem: Modem, rx: np.ndarray, threshold: float = 0.4) -> Strea
     rx_pad = np.concatenate([rx32, pad])
     windows = np.stack([rx_pad[s: s + cfg.frame_len] for s in starts])
     results = []
-    bits, diag = modem._decode_at_jit(
-        jnp.asarray(windows), jnp.zeros((len(starts),), jnp.int32))
+    # windows are already cut at the chirp onset → static-slice decode path
+    # (no full-recording FFTs)
+    bits, diag = modem._decode_win_jit(jnp.asarray(windows))
     bits = np.asarray(bits)
     diag = Modem._host_diag(jax.device_get(diag))
     for i in range(len(starts)):
