@@ -352,6 +352,25 @@ class Modem:
         )
         return bits, diag
 
+    def demodulate_sc(self, rx: jnp.ndarray):
+        """RX stack synced by the Schmidl–Cox plateau instead of the chirp —
+        the fallback when the chirp is clipped/filtered/collided
+        (BASELINE.json:5: sync by BOTH methods). rx: (..., T)."""
+        from ..ops.sync import find_frame_start_sc
+
+        start, metric = find_frame_start_sc(self.cfg, rx)
+        llr, (H, nv, slope, cpe, evm) = self._demod_at(rx, start)
+        bits = self._bits_from_llr(llr)
+        diag = DecodeDiag(
+            sync_start=start.astype(jnp.int32),
+            sync_metric=jnp.full(rx.shape[:-1], jnp.nan, jnp.float32),
+            sc_metric=metric.astype(jnp.float32),
+            H=jnp.stack([H.real, H.imag], axis=-1).astype(jnp.float32),
+            noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
+            mean_abs_llr=jnp.mean(jnp.abs(llr), axis=-1),
+        )
+        return bits, diag
+
     @staticmethod
     def _host_diag(diag: DecodeDiag) -> DecodeDiag:
         """Reconstitute complex H on the host (jit outputs must be real on TPU)."""
@@ -404,11 +423,17 @@ class Modem:
             return DecodeResult(payload=b"", filename="", crc_ok=False,
                                 bits=bits, diag=diag)
 
-    def decode(self, rx: np.ndarray, start: Optional[int] = None) -> DecodeResult:
-        """waveform → DecodeResult. `start` overrides chirp sync (loopback)."""
+    def decode(self, rx: np.ndarray, start: Optional[int] = None,
+               sync: str = "chirp") -> DecodeResult:
+        """waveform → DecodeResult. `start` overrides sync (loopback);
+        sync='sc' uses Schmidl–Cox timing instead of the chirp."""
         rx = jnp.asarray(np.asarray(rx, dtype=np.float32))
         if start is not None:
             bits, diag = self._decode_at_jit(rx, jnp.int32(start))
+        elif sync == "sc":
+            if not hasattr(self, "_decode_sc_jit"):
+                self._decode_sc_jit = jax.jit(self.demodulate_sc)
+            bits, diag = self._decode_sc_jit(rx)
         else:
             bits, diag = self._decode_jit(rx)
         return self._result(np.asarray(bits), self._host_diag(jax.device_get(diag)))

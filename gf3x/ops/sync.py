@@ -179,6 +179,41 @@ def schmidl_cox_metric(cfg: ModemConfig, rx: jnp.ndarray) -> jnp.ndarray:
     return (P * P) / (R * R)
 
 
+def find_frame_start_sc(cfg: ModemConfig, rx: jnp.ndarray):
+    """Schmidl–Cox timing: frame start from the autocorrelation plateau —
+    the fallback when the chirp is unusable (clipped, band-filtered, or
+    colliding with another transmission). BASELINE.json:5: synchronization
+    by BOTH chirp matched filtering and Schmidl–Cox.
+
+    The repeated-half SC symbol creates an M(d) ≈ 1 plateau of ~CP width
+    starting at the SC symbol's CP; the timing estimate is the plateau
+    *center* (argmax alone is noise-driven on a flat top): center of mass
+    of M^4 in a CP-wide window around the argmax, then back off to the
+    plateau start. rx: (..., T) → (start (...,) int32, metric (...,) f32).
+    """
+    M = schmidl_cox_metric(cfg, rx)                       # (..., T - n_fft)
+    peak = jnp.argmax(M, axis=-1).astype(jnp.int32)
+    peak_val = jnp.take_along_axis(M, peak[..., None], axis=-1)[..., 0]
+
+    W = 2 * cfg.cp + 1
+
+    def refine(mrow, p):
+        base = jnp.maximum(p - cfg.cp, 0)
+        win = jax.lax.dynamic_slice(mrow, (base,), (W,))
+        w = win ** 4                                      # sharpen the plateau
+        idx = jnp.arange(W, dtype=jnp.float32)
+        com = jnp.sum(w * idx) / jnp.maximum(jnp.sum(w), 1e-12)
+        return base + com.astype(jnp.int32)
+
+    flat_m = M.reshape(-1, M.shape[-1])
+    flat_p = peak.reshape(-1)
+    center = jax.vmap(refine)(flat_m, flat_p).reshape(peak.shape)
+    # plateau center ≈ SC CP midpoint + half the plateau → the SC body start
+    # is ~center + cp/2; chirp onset = body − cp − chirp_len
+    start = center + cfg.cp // 2 - cfg.cp - cfg.chirp_len
+    return jnp.maximum(start, 0), peak_val
+
+
 def sc_metric_at(cfg: ModemConfig, rx: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Schmidl–Cox metric evaluated at one (per-row, data-dependent) lag —
     the second sync opinion: M ≈ 1 exactly when the repeated-half SC symbol
