@@ -58,10 +58,13 @@ def main():
     rx, payload = build_batch(modem, B, margin, rng)
 
     # --- TPU batched decode, steady state (data device-resident, outputs
-    #     materialized each step). NOTE: on the axon backend
-    #     block_until_ready returns early; a scalar device_get per step is
-    #     the only reliable fence, so the timed function reduces its outputs
-    #     to checksums on device (negligible next to the decode).
+    #     materialized each step). Two axon-backend realities shape the
+    #     measurement: (a) block_until_ready returns early, so a scalar
+    #     device_get is the only reliable fence; (b) the tunneled PJRT has a
+    #     ~25 ms dispatch+fetch round-trip, so steps are ENQUEUED back to
+    #     back and fetched afterwards — the steady-state regime of a
+    #     streaming receiver — rather than paying the host round-trip per
+    #     step.
     import jax.numpy as jnp
 
     @jax.jit
@@ -77,10 +80,11 @@ def main():
     assert res0.crc_ok and res0.payload == payload, "bench decode is broken"
 
     jax.device_get(decode_step(rx_dev)[1])  # full warmup (first-run overhead)
-    steps = 8
+    steps = 24
     t0 = time.perf_counter()
-    for _ in range(steps):
-        jax.device_get(decode_step(rx_dev)[1])
+    outs = [decode_step(rx_dev)[1] for _ in range(steps)]
+    for o in outs:
+        jax.device_get(o)
     dt = (time.perf_counter() - t0) / steps
 
     sym_per_step = B * cfg.n_data_symbols
@@ -99,8 +103,9 @@ def main():
     win = jax.device_put(jnp.asarray(rx[:, :cfg.frame_len]))
     jax.device_get(step_win(win)); jax.device_get(step_win(win))
     t0 = time.perf_counter()
-    for _ in range(steps):
-        jax.device_get(step_win(win))
+    outs = [step_win(win) for _ in range(steps)]
+    for o in outs:
+        jax.device_get(o)
     dt_win = (time.perf_counter() - t0) / steps
     win_sps = sym_per_step / dt_win
 

@@ -41,14 +41,32 @@ def sync_nfft(T: int, chirp_len: int) -> int:
 
 def rx_spectrum(rx: jnp.ndarray, nfft: int) -> jnp.ndarray:
     """rfft of the recording at the sync FFT length — computed once and
-    shared by the matched filter and the frame-window extraction."""
+    shared by the matched filter and the frame-window extraction.
+
+    Stays on jnp.fft: the matmul forward (rfft_mm) measured slightly slower
+    here — its even/odd packing and untangling outweigh the VPU-FFT cost of
+    one forward transform. The two *inverse* transforms route to the MXU
+    form (see `_irfft`), where the win is ~11×.
+    """
     return jnp.fft.rfft(rx, nfft, axis=-1)
+
+
+def _irfft(X: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    """Inverse real FFT, routed to the MXU matmul formulation on TPU for
+    large sizes: XLA's TPU FFT runs on the VPU at ~16 ms per (1024, 65536)
+    inverse; the four-step matmul form (`ops.mmfft`) does it in ~1.5 ms."""
+    from ..utils.device import computation_on_tpu
+    from .mmfft import good_mm_size, irfft_mm
+
+    if good_mm_size(nfft) and computation_on_tpu():
+        return irfft_mm(X, nfft)
+    return jnp.fft.irfft(X, nfft, axis=-1).astype(jnp.float32)
 
 
 def matched_filter_spec(R: jnp.ndarray, chirp: np.ndarray, T: int, nfft: int) -> jnp.ndarray:
     """Matched filter from a precomputed spectrum R = rfft(rx, nfft)."""
     c_f = jnp.asarray(np.conj(np.fft.rfft(chirp, nfft)).astype(np.complex64))
-    M = jnp.fft.irfft(R * c_f, nfft, axis=-1)
+    M = _irfft(R * c_f, nfft)
     return M[..., :T].astype(jnp.float32)
 
 
@@ -115,8 +133,7 @@ def extract_windows_spec(
     s = starts.astype(jnp.uint32)[..., None]
     m = (s * k) & jnp.uint32(nfft - 1)           # (start·k) mod nfft, exact
     ang = jnp.float32(2.0 * np.pi / nfft) * m.astype(jnp.float32)
-    rolled = jnp.fft.irfft(R * jax.lax.complex(jnp.cos(ang), jnp.sin(ang)),
-                           nfft, axis=-1)
+    rolled = _irfft(R * jax.lax.complex(jnp.cos(ang), jnp.sin(ang)), nfft)
     return rolled[..., :need].astype(jnp.float32)
 
 
