@@ -1,0 +1,85 @@
+"""Edge and fuzz coverage: the bit layer must never crash on garbage, config
+validation must reject bad geometry, mmfft gates must hold."""
+
+import numpy as np
+import pytest
+
+from gf3x import ModemConfig
+from gf3x.utils.bits import parse_frame_header, pack_header
+
+
+def test_header_fuzz_never_crashes():
+    """parse_frame_header on random bytes: ValueError or a result — never
+    an unhandled exception (decode feeds it raw demodulated bits)."""
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 15, 16, 17, 64, 300):
+        for _ in range(50):
+            blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            try:
+                h = parse_frame_header(blob)
+                assert isinstance(h.crc_ok, bool)
+            except ValueError:
+                pass
+
+
+def test_header_fuzz_valid_prefix():
+    """Correct magic but corrupted fields: still ValueError or crc_ok=False."""
+    rng = np.random.default_rng(1)
+    good = pack_header(b"payload", "f.txt", seq=1, total=3)
+    for _ in range(200):
+        blob = bytearray(good)
+        i = int(rng.integers(2, len(blob)))
+        blob[i] ^= int(rng.integers(1, 256))
+        try:
+            h = parse_frame_header(bytes(blob))
+            if h.payload == b"payload":
+                continue                      # mutation hit the name/seq only
+            assert not h.crc_ok or h.payload != b"payload"
+        except ValueError:
+            pass
+
+
+def test_pack_header_limits():
+    with pytest.raises(ValueError):
+        pack_header(b"x", "n" * 256)
+    with pytest.raises(ValueError):
+        pack_header(b"x", seq=3, total=3)
+    with pytest.raises(ValueError):
+        pack_header(b"x", seq=0, total=0x10000)
+
+
+def test_config_validation_rejects_bad_geometry():
+    with pytest.raises(AssertionError):
+        ModemConfig(n_fft=1000).validate()          # not a power of two
+    with pytest.raises(AssertionError):
+        ModemConfig(cp=1024).validate()             # cp >= n_fft
+    with pytest.raises(AssertionError):
+        ModemConfig(bin_hi=512).validate()          # beyond Nyquist-1
+    with pytest.raises(AssertionError):
+        ModemConfig(fec="turbo").validate()
+    with pytest.raises(AssertionError):
+        # frame too small for one codeword
+        ModemConfig(fec="ldpc", ldpc_z=96, n_data_symbols=1).validate()
+
+
+def test_mmfft_size_gate():
+    from gf3x.ops.mmfft import good_mm_size
+    assert good_mm_size(1 << 14)
+    assert good_mm_size(1 << 16)
+    assert not good_mm_size(1 << 13)
+    assert not good_mm_size(65535)                  # not a power of two
+    assert not good_mm_size(1 << 25)
+
+
+def test_mmfft_parity_multiple_sizes():
+    import jax.numpy as jnp
+    from gf3x.ops.mmfft import irfft_mm, rfft_mm
+    rng = np.random.default_rng(2)
+    for n in (1 << 14, 1 << 15):
+        x = rng.standard_normal((2, n - 137)).astype(np.float32)
+        ref = np.fft.rfft(x, n, axis=-1)
+        got = np.asarray(rfft_mm(jnp.asarray(x), n))
+        assert np.max(np.abs(got - ref)) < 2e-3 * np.max(np.abs(ref))
+        back = np.asarray(irfft_mm(jnp.asarray(got), n))
+        refb = np.fft.irfft(ref, n, axis=-1)
+        assert np.max(np.abs(back - refb)) < 2e-3 * np.max(np.abs(refb) + 1e-9)
