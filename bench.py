@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def build_batch(modem, B: int, margin: int, rng) -> tuple[np.ndarray, bytes]:
+def build_batch(modem, B: int, margin: int, rng) -> tuple[np.ndarray, bytes, np.ndarray]:
     """B copies of a real frame at random delays + 20 dB AWGN (decodable)."""
     cfg = modem.cfg
     payload = rng.integers(0, 256, 540, dtype=np.uint8).tobytes()
@@ -31,7 +31,7 @@ def build_batch(modem, B: int, margin: int, rng) -> tuple[np.ndarray, bytes]:
         rx[i, delays[i]: delays[i] + wav.size] = wav
     p = float(np.mean(wav**2))
     rx += (rng.standard_normal((B, T)) * np.sqrt(p / 100.0)).astype(np.float32)
-    return rx, payload
+    return rx, payload, delays
 
 
 def golden_symbols_per_sec(cfg, rx: np.ndarray, n_frames: int = 2) -> float:
@@ -55,7 +55,7 @@ def main():
     modem = Modem(cfg)
     rng = np.random.default_rng(0)
     B, margin = 1024, 4096
-    rx, payload = build_batch(modem, B, margin, rng)
+    rx, payload, delays = build_batch(modem, B, margin, rng)
 
     # --- TPU batched decode, steady state (data device-resident, outputs
     #     materialized each step). Two axon-backend realities shape the
@@ -100,7 +100,15 @@ def main():
         b, _ = modem.demodulate_prewindowed(w)
         return jnp.sum(b.astype(jnp.int32))
 
-    win = jax.device_put(jnp.asarray(rx[:, :cfg.frame_len]))
+    # cut each window at its frame's true onset (the streaming receiver's
+    # find_frames does this) and CRC-gate one row — otherwise this path's
+    # correctness would go unexercised
+    win_np = np.stack([rx[i, delays[i]: delays[i] + cfg.frame_len]
+                       for i in range(B)])
+    win = jax.device_put(jnp.asarray(win_np))
+    wb, _ = jax.jit(modem.demodulate_prewindowed)(win)
+    resw = modem._result(np.asarray(wb[0]), None)
+    assert resw.crc_ok and resw.payload == payload, "prewindowed decode broken"
     jax.device_get(step_win(win)); jax.device_get(step_win(win))
     t0 = time.perf_counter()
     outs = [step_win(win) for _ in range(steps)]

@@ -189,7 +189,6 @@ class Modem:
                         interpret: bool = False):
         """TPU path of `_demod_at`: window cut + FFT + LS estimate in XLA,
         then the fused EQ/track/demap Pallas kernel per (symbol, lane-block)."""
-        from ..ops.pallas.fused_eq import LANES, fused_eq_demap_tpu
         from ..ops.sync import extract_windows_spec, rx_spectrum, sync_nfft
 
         cfg = self.cfg
@@ -206,7 +205,16 @@ class Modem:
         window = extract_windows_spec(R, ofdm_start, need, nfft)
         Y = ofdm_demodulate(cfg, window)                       # (..., K+D, n_used)
         H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
+        return self._fused_eq_demap(Y, H, noise_var, lead, interpret)
 
+    def _fused_eq_demap(self, Y: jnp.ndarray, H: jnp.ndarray,
+                        noise_var: jnp.ndarray, lead: tuple,
+                        interpret: bool = False):
+        """Post-estimate tail on the fused Pallas kernel (shared by the
+        sync-included and prewindowed decode paths)."""
+        from ..ops.pallas.fused_eq import LANES, fused_eq_demap_tpu
+
+        cfg = self.cfg
         B = int(np.prod(lead)) if lead else 1
         Bp = -(-B // LANES) * LANES
         D = cfg.n_data_symbols
@@ -294,14 +302,20 @@ class Modem:
         )
         return bits, diag
 
-    def _demod_prewindowed(self, body: jnp.ndarray):
+    def _demod_prewindowed(self, body: jnp.ndarray, use_pallas: Optional[bool] = None):
         """Demap a CP-aligned OFDM body (..., (K+D)·symbol_len) — the common
-        tail of both decode paths, without window extraction."""
+        tail of both decode paths (window extraction already done). Routes
+        to the fused Pallas EQ/demap kernel on TPU like `_demod_at`."""
         from .frame import split_pilots
 
         cfg = self.cfg
+        if use_pallas is None:
+            from ..utils.device import computation_on_tpu
+            use_pallas = computation_on_tpu() and cfg.strided_pilots
         Y = ofdm_demodulate(cfg, body)
         H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
+        if use_pallas:
+            return self._fused_eq_demap(Y, H, noise_var, body.shape[:-1])
         eq = equalize(H, Y[..., cfg.n_known_symbols:, :])
         eq, slope, cpe = pilot_phase_correct(cfg, eq)
         _, data = split_pilots(cfg, eq)
@@ -434,8 +448,10 @@ class Modem:
             if not hasattr(self, "_decode_sc_jit"):
                 self._decode_sc_jit = jax.jit(self.demodulate_sc)
             bits, diag = self._decode_sc_jit(rx)
-        else:
+        elif sync == "chirp":
             bits, diag = self._decode_jit(rx)
+        else:
+            raise ValueError(f"unknown sync method {sync!r}; use 'chirp' or 'sc'")
         return self._result(np.asarray(bits), self._host_diag(jax.device_get(diag)))
 
     def decode_batch(self, rx: np.ndarray) -> list[DecodeResult]:

@@ -68,9 +68,13 @@ def fft_mm(x: jnp.ndarray, n: int) -> jnp.ndarray:
     elif m > n:
         x = x[..., :n]
     xr = x.reshape(*lead, n2, n1)                           # [a, b] = x[n1·a+b]
-    G = jnp.matmul(jnp.asarray(W2), xr)                     # (..., d, b)
+    # HIGHEST precision: the TPU default runs matmuls as single bf16 passes
+    # (~4e-3/element) — a −45 dB error floor on every window the demod
+    # consumes. HIGHEST (bf16x3/f32) restores the documented ~1e-6 rel.
+    hi = jax.lax.Precision.HIGHEST
+    G = jnp.matmul(jnp.asarray(W2), xr, precision=hi)       # (..., d, b)
     H = G * jnp.asarray(T)
-    X = jnp.matmul(H, jnp.asarray(W1t))                     # (..., d, c)
+    X = jnp.matmul(H, jnp.asarray(W1t), precision=hi)       # (..., d, c)
     return jnp.swapaxes(X, -1, -2).reshape(*lead, n)        # k = n2·c + d
 
 

@@ -55,10 +55,11 @@ def ofdm_modulate(cfg: ModemConfig, sym_bins: jnp.ndarray) -> jnp.ndarray:
         # matmuls over the used band (DC/Nyquist are zero by construction)
         C, Sm = _dft_tables(cfg)
         scale = jnp.float32(2.0 * cfg.ofdm_scale / cfg.n_fft)
+        hi = jax.lax.Precision.HIGHEST  # TPU default = one bf16 pass (−45 dB)
         x = (jnp.matmul(sym_bins.real.astype(jnp.float32), jnp.asarray(C.T),
-                        preferred_element_type=jnp.float32)
+                        precision=hi, preferred_element_type=jnp.float32)
              - jnp.matmul(sym_bins.imag.astype(jnp.float32), jnp.asarray(Sm.T),
-                          preferred_element_type=jnp.float32)) * scale
+                          precision=hi, preferred_element_type=jnp.float32)) * scale
     else:
         pad = [(0, 0)] * (len(lead) + 1) + [(cfg.bin_lo, cfg.n_bins - cfg.bin_hi - 1)]
         spec = jnp.pad(sym_bins.astype(jnp.complex64), pad)
@@ -84,8 +85,11 @@ def ofdm_demodulate(cfg: ModemConfig, samples: jnp.ndarray) -> jnp.ndarray:
         C, Sm = _dft_tables(cfg)
         inv = jnp.float32(1.0 / cfg.ofdm_scale)
         xr = sym.astype(jnp.float32)
-        re = jnp.matmul(xr, jnp.asarray(C), preferred_element_type=jnp.float32) * inv
-        im = -jnp.matmul(xr, jnp.asarray(Sm), preferred_element_type=jnp.float32) * inv
+        hi = jax.lax.Precision.HIGHEST  # TPU default = one bf16 pass (−45 dB)
+        re = jnp.matmul(xr, jnp.asarray(C), precision=hi,
+                        preferred_element_type=jnp.float32) * inv
+        im = -jnp.matmul(xr, jnp.asarray(Sm), precision=hi,
+                         preferred_element_type=jnp.float32) * inv
         return jax.lax.complex(re, im)
     spec = jnp.fft.rfft(sym, cfg.n_fft, axis=-1) / np.float32(cfg.ofdm_scale)
     return spec[..., cfg.bin_lo: cfg.bin_hi + 1].astype(jnp.complex64)

@@ -102,7 +102,7 @@ def streaming_matched_filter(rx: jnp.ndarray, chirp: np.ndarray,
 
     def body(carry, i):
         seg = jax.lax.dynamic_slice_in_dim(rx_pad, i * chunk, chunk + L, axis=-1)
-        m = jnp.fft.irfft(jnp.fft.rfft(seg, F, axis=-1) * c_f, F, axis=-1)
+        m = _irfft(jnp.fft.rfft(seg, F, axis=-1) * c_f, F)
         return carry, m[..., :chunk].astype(jnp.float32)
 
     _, ms = jax.lax.scan(body, 0, jnp.arange(n_chunks))
@@ -208,6 +208,9 @@ def find_frame_start_sc(cfg: ModemConfig, rx: jnp.ndarray):
     of M^4 in a CP-wide window around the argmax, then back off to the
     plateau start. rx: (..., T) → (start (...,) int32, metric (...,) f32).
     """
+    if not cfg.use_schmidl_cox:
+        raise ValueError("SC sync needs use_schmidl_cox=True: this config "
+                         "transmits no repeated-half symbol to lock onto")
     M = schmidl_cox_metric(cfg, rx)                       # (..., T - n_fft)
     peak = jnp.argmax(M, axis=-1).astype(jnp.int32)
     peak_val = jnp.take_along_axis(M, peak[..., None], axis=-1)[..., 0]
