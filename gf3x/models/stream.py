@@ -22,7 +22,7 @@ from ..utils.bits import HEADER_OVERHEAD
 from .modem import DecodeResult, Modem
 
 __all__ = [
-    "encode_file", "encode_frames", "find_frames", "decode_stream",
+    "encode_file", "encode_frames", "find_frames", "find_frames_device", "decode_stream",
     "merge_streams", "StreamResult", "frame_capacity",
 ]
 
@@ -162,6 +162,93 @@ def find_frames(
             np.asarray(metrics, dtype=np.float64)[order])
 
 
+def _device_frame_scan(modem: Modem, rx32: np.ndarray, seg_len: int,
+                       streaming_chunk: Optional[int]):
+    """One jitted pass over the recording → per-segment sync candidates.
+
+    Fetching the full correlation magnitude costs T floats over a ~50 MB/s
+    tunnel; this returns three (n_seg,) arrays instead: each segment's best
+    NCC, its refined first-arrival index, and its raw argmax. Host-side
+    greedy clustering on segments replaces sample-level peak picking.
+    """
+    from ..ops.sync import streaming_matched_filter
+
+    cfg = modem.cfg
+    T = len(rx32)
+    n_seg = -(-T // seg_len)
+    Tp = n_seg * seg_len
+    L = cfg.chirp_len
+    ce = float(np.sum(modem.chirp**2))
+    W = cfg.cp + 1
+
+    def scan(rx):
+        if streaming_chunk:
+            mabs = jnp.abs(streaming_matched_filter(rx, modem.chirp, streaming_chunk))
+        else:
+            mabs = jnp.abs(matched_filter(rx, modem.chirp))
+        cs = jnp.concatenate([jnp.zeros(1), jnp.cumsum(rx.astype(jnp.float32) ** 2)])
+        idx = jnp.arange(T)
+        local = cs[jnp.minimum(idx + L, T)] - cs[idx]
+        local = jnp.maximum(local, jnp.max(local) * 1e-4 + 1e-20)
+        ncc = mabs / (jnp.sqrt(local * ce) + 1e-20)
+
+        pad = Tp - T
+        nccp = jnp.pad(ncc, (0, pad)).reshape(n_seg, seg_len)
+        mpad = jnp.pad(mabs, (0, pad))
+        seg_arg = jnp.argmax(nccp, axis=-1).astype(jnp.int32)
+        seg_val = jnp.take_along_axis(nccp, seg_arg[:, None], axis=-1)[:, 0]
+        gpos = seg_arg + jnp.arange(n_seg, dtype=jnp.int32) * seg_len
+
+        def refine(p):
+            base = jnp.maximum(p - cfg.cp, 0)
+            win = jax.lax.dynamic_slice(mpad, (base,), (W,))
+            pv = jax.lax.dynamic_slice(mpad, (p,), (1,))[0]
+            first = jnp.argmax(win >= 0.5 * pv).astype(jnp.int32)
+            return base + first
+
+        firsts = jax.vmap(refine)(gpos)
+        return seg_val, firsts, gpos
+
+    sv, fi, gp = jax.jit(scan)(jnp.asarray(rx32))
+    return np.asarray(sv), np.asarray(fi), np.asarray(gp)
+
+
+def find_frames_device(
+    modem: Modem,
+    rx: np.ndarray,
+    threshold: float = 0.4,
+    streaming_chunk: Optional[int] = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """`find_frames` with the O(T) work and fetch kept on device (long
+    recordings; SURVEY.md §6.7). Returns (starts, ncc_metrics)."""
+    cfg = modem.cfg
+    rx32 = np.asarray(rx, dtype=np.float32)
+    if len(rx32) < cfg.frame_len:
+        return np.zeros(0, np.int64), np.zeros(0)
+    seg_len = max(cfg.frame_len // 2, 1)
+    seg_val, firsts, gpos = _device_frame_scan(modem, rx32, seg_len, streaming_chunk)
+
+    # greedy cluster: candidates above threshold, strongest first, excluding
+    # anything within half a frame of an accepted peak (same exclusion rule
+    # as the host path)
+    order = np.argsort(-seg_val)
+    min_sep = cfg.frame_len // 2
+    starts, metrics = [], []
+    taken: list[int] = []
+    for s in order:
+        if seg_val[s] < threshold:
+            break
+        p = int(gpos[s])
+        if any(abs(p - t) < min_sep for t in taken):
+            continue
+        taken.append(p)
+        starts.append(int(firsts[s]))
+        metrics.append(float(seg_val[s]))
+    o = np.argsort(starts)
+    return (np.asarray(starts, dtype=np.int64)[o],
+            np.asarray(metrics, dtype=np.float64)[o])
+
+
 @dataclass
 class StreamResult:
     payload: Optional[bytes]          # reassembled bytes (None if incomplete)
@@ -181,7 +268,12 @@ def decode_stream(modem: Modem, rx: np.ndarray, threshold: float = 0.4) -> Strea
     """
     cfg = modem.cfg
     rx32 = np.asarray(rx, dtype=np.float32)
-    starts, metrics = find_frames(modem, rx32, threshold=threshold)
+    if rx32.size > 1_000_000:
+        # long recording: keep the O(T) scan and its fetch on device
+        # (segment-level candidates instead of T correlation samples)
+        starts, metrics = find_frames_device(modem, rx32, threshold=threshold)
+    else:
+        starts, metrics = find_frames(modem, rx32, threshold=threshold)
     if starts.size == 0:
         return StreamResult(payload=None, filename="", complete=False)
 

@@ -67,6 +67,27 @@ def test_stereo_wav_normalized(tmp_path):
     assert np.allclose(x, mono, atol=1e-3)
 
 
+def test_device_frame_scan_matches_host():
+    """Segment-level on-device enumeration must equal the host peak picker
+    (decode_stream auto-routes recordings > 1M samples through it)."""
+    from gf3x.models.stream import encode_file, find_frames, find_frames_device, frame_capacity
+    from gf3x.channel import awgn, delay_gain
+
+    m = Modem(CFG)
+    rng = np.random.default_rng(7)
+    data = b"q" * (frame_capacity(m, "d") * 4)
+    wav = encode_file(m, data, "d", gap_s=0.2)
+    rx = awgn(delay_gain(wav.astype(np.float64), 20000, 0.5,
+                         total_len=len(wav) + 60000), 22.0, rng)
+    s1, m1 = find_frames(m, rx)
+    s2, m2 = find_frames_device(m, rx)
+    s3, _ = find_frames_device(m, rx, streaming_chunk=8192)
+    assert s1.size == 4
+    assert np.array_equal(s1, s2)
+    assert np.array_equal(s1, s3)
+    assert np.allclose(m1, m2, rtol=1e-3)
+
+
 def test_streaming_find_frames_on_long_recording():
     m = Modem(CFG)
     rng = np.random.default_rng(1)
