@@ -106,7 +106,7 @@ def main():
     win_np = np.stack([rx[i, delays[i]: delays[i] + cfg.frame_len]
                        for i in range(B)])
     win = jax.device_put(jnp.asarray(win_np))
-    wb, _ = jax.jit(modem.demodulate_prewindowed)(win)
+    wb, _ = modem._decode_win_jit(win)   # reuse the Modem's own jit cache
     resw = modem._result(np.asarray(wb[0]), None)
     assert resw.crc_ok and resw.payload == payload, "prewindowed decode broken"
     jax.device_get(step_win(win)); jax.device_get(step_win(win))

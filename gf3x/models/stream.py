@@ -181,14 +181,20 @@ def _device_frame_scan(modem: Modem, rx32: np.ndarray, seg_len: int,
     ce = float(np.sum(modem.chirp**2))
     W = cfg.cp + 1
 
+    ones = np.ones(L, dtype=np.float64)
+
     def scan(rx):
         if streaming_chunk:
-            mabs = jnp.abs(streaming_matched_filter(rx, modem.chirp, streaming_chunk))
+            mf = lambda x, h: streaming_matched_filter(x, h, streaming_chunk)
         else:
-            mabs = jnp.abs(matched_filter(rx, modem.chirp))
-        cs = jnp.concatenate([jnp.zeros(1), jnp.cumsum(rx.astype(jnp.float32) ** 2)])
-        idx = jnp.arange(T)
-        local = cs[jnp.minimum(idx + L, T)] - cs[idx]
+            mf = matched_filter
+        mabs = jnp.abs(mf(rx, modem.chirp))
+        # window energy = correlation of x² with a ones kernel — same
+        # machinery as the matched filter. (A float32 cumsum difference
+        # catastrophically cancels on long recordings: cs grows to the total
+        # energy while a window is a tiny difference of two huge values;
+        # the FFT convolution's error scales with window magnitudes instead.)
+        local = jnp.maximum(mf(rx * rx, ones), 0.0)
         local = jnp.maximum(local, jnp.max(local) * 1e-4 + 1e-20)
         ncc = mabs / (jnp.sqrt(local * ce) + 1e-20)
 
@@ -270,8 +276,12 @@ def decode_stream(modem: Modem, rx: np.ndarray, threshold: float = 0.4) -> Strea
     rx32 = np.asarray(rx, dtype=np.float32)
     if rx32.size > 1_000_000:
         # long recording: keep the O(T) scan and its fetch on device
-        # (segment-level candidates instead of T correlation samples)
-        starts, metrics = find_frames_device(modem, rx32, threshold=threshold)
+        # (segment-level candidates instead of T correlation samples);
+        # beyond ~8M samples also switch the correlations to overlap-save
+        # chunks so device memory stays O(chunk), not O(next_pow2(T))
+        chunk = (1 << 17) if rx32.size > 8_000_000 else None
+        starts, metrics = find_frames_device(modem, rx32, threshold=threshold,
+                                             streaming_chunk=chunk)
     else:
         starts, metrics = find_frames(modem, rx32, threshold=threshold)
     if starts.size == 0:
