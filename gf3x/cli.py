@@ -74,6 +74,7 @@ def cmd_transmit(args) -> int:
 def cmd_receive(args) -> int:
     from .io import read_wav
     from .models.stream import decode_stream
+    from .utils.bits import safe_filename
 
     modem = _modem(args)
     rx, _ = read_wav(args.wav, expect_fs=modem.cfg.fs if args.strict_fs else None)
@@ -107,7 +108,10 @@ def cmd_receive(args) -> int:
         return 2
     outdir = Path(args.output or ".")
     outdir.mkdir(parents=True, exist_ok=True)
-    out = outdir / (res.filename or "decoded.bin")
+    # the decoded filename is untrusted (it came out of the air): strip any
+    # directory components so a malicious transmission cannot write outside
+    # the output directory
+    out = outdir / safe_filename(res.filename)
     out.write_bytes(res.payload)
     print(f"wrote {out}")
     return 0

@@ -21,6 +21,7 @@ from dataclasses import dataclass
 import numpy as np
 
 __all__ = [
+    "WIRE_FORMAT",
     "ModemConfig",
     "layout",
     "Layout",
@@ -30,6 +31,13 @@ __all__ = [
     "CONFIG1_LOOPBACK",
     "preset",
 ]
+
+
+#: Wire-format version marker. Single source of truth for the fixture
+#: manifest "format" field (tools/make_fixtures.py, tests/fixtures/) and the
+#: version SPEC.md documents — bump it whenever an encode-side change breaks
+#: decode compatibility with previously recorded audio.
+WIRE_FORMAT = 2
 
 
 @dataclass(frozen=True)

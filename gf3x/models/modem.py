@@ -267,15 +267,18 @@ class Modem:
             return info.reshape(*lead, cfg.payload_bits_per_frame)
         return hard_bits(llr)
 
-    def _sc_check(self, rx: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
-        """SC-symbol presence metric at the synced position (≈1 on a frame)."""
+    def _sc_check(self, rx: jnp.ndarray, start: jnp.ndarray,
+                  R: Optional[jnp.ndarray] = None,
+                  nfft: Optional[int] = None) -> jnp.ndarray:
+        """SC-symbol presence metric at the synced position (≈1 on a frame).
+        Pass R/nfft to reuse the sync spectrum for the window cut."""
         from ..ops.sync import sc_metric_at
 
         cfg = self.cfg
         if not cfg.use_schmidl_cox:
             return jnp.zeros(rx.shape[:-1], jnp.float32)
         body = jnp.broadcast_to(start, rx.shape[:-1]) + cfg.chirp_len + cfg.cp
-        return sc_metric_at(cfg, rx, body).astype(jnp.float32)
+        return sc_metric_at(cfg, rx, body, R=R, nfft=nfft).astype(jnp.float32)
 
     def demodulate_prewindowed(self, windows: jnp.ndarray):
         """Decode frames already cut at their chirp onset: windows
@@ -359,7 +362,7 @@ class Modem:
         bits = self._bits_from_llr(llr)
         diag = DecodeDiag(
             sync_start=start.astype(jnp.int32), sync_metric=metric,
-            sc_metric=self._sc_check(rx, start),
+            sc_metric=self._sc_check(rx, start, R=R, nfft=nfft),
             H=jnp.stack([H.real, H.imag], axis=-1).astype(jnp.float32),
             noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
             mean_abs_llr=jnp.mean(jnp.abs(llr), axis=-1),

@@ -174,23 +174,42 @@ def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray,
     return start, metric
 
 
+#: Above this length the prefix-sum form of the SC metric switches to the
+#: ones-kernel correlation form: float32 cumsums grow to the total recording
+#: energy while a half-symbol window is a tiny difference of two huge values
+#: (catastrophic cancellation — same failure _device_frame_scan's NCC energy
+#: fixed). At 2^20 samples the relative cumsum error is still ≤ ~1e-4 of a
+#: window sum for speech-level signals; beyond it the FFT form's error scales
+#: with window magnitudes instead.
+_SC_CUMSUM_MAX = 1 << 20
+
+
 def schmidl_cox_metric(cfg: ModemConfig, rx: jnp.ndarray) -> jnp.ndarray:
-    """M(d) = P(d)²/R(d)² over the half-symbol lag, via prefix sums.
+    """M(d) = P(d)²/R(d)² over the half-symbol lag.
 
     P(d) = Σ_{m<L/2} r[d+m]·r[d+m+L/2] (real signal ⇒ conj is identity),
     R(d) = Σ |r[d+m+L/2]|² (SURVEY.md Appendix; §6.7 "Schmidl–Cox via
     prefix sums"). rx: (..., T) → (..., T − n_fft) float32.
+
+    Window sums come from prefix sums on short recordings and from a
+    correlation with a ones kernel (the matched-filter machinery) on long
+    ones, where float32 prefix sums catastrophically cancel.
     """
     half = cfg.n_fft // 2
     prod = rx[..., :-half] * rx[..., half:]
     energy = rx[..., half:] ** 2
-    zero = jnp.zeros(rx.shape[:-1] + (1,), dtype=rx.dtype)
-    cs_p = jnp.concatenate([zero, jnp.cumsum(prod, axis=-1)], axis=-1)
-    cs_r = jnp.concatenate([zero, jnp.cumsum(energy, axis=-1)], axis=-1)
     n = rx.shape[-1] - cfg.n_fft
-    d = jnp.arange(n)
-    P = cs_p[..., d + half] - cs_p[..., d]
-    R = cs_r[..., d + half] - cs_r[..., d]
+    if rx.shape[-1] <= _SC_CUMSUM_MAX:
+        zero = jnp.zeros(rx.shape[:-1] + (1,), dtype=rx.dtype)
+        cs_p = jnp.concatenate([zero, jnp.cumsum(prod, axis=-1)], axis=-1)
+        cs_r = jnp.concatenate([zero, jnp.cumsum(energy, axis=-1)], axis=-1)
+        d = jnp.arange(n)
+        P = cs_p[..., d + half] - cs_p[..., d]
+        R = cs_r[..., d + half] - cs_r[..., d]
+    else:
+        ones = np.ones(half, dtype=np.float32)
+        P = matched_filter(prod, ones)[..., :n]
+        R = jnp.maximum(matched_filter(energy, ones)[..., :n], 0.0)
     # energy floor: near-silent windows otherwise spike to M ≈ 1 on noise
     R = jnp.maximum(R, 0.05 * jnp.max(R, axis=-1, keepdims=True) + 1e-24)
     return (P * P) / (R * R)
@@ -234,26 +253,39 @@ def find_frame_start_sc(cfg: ModemConfig, rx: jnp.ndarray):
     return jnp.maximum(start, 0), peak_val
 
 
-def sc_metric_at(cfg: ModemConfig, rx: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+def sc_metric_at(cfg: ModemConfig, rx: jnp.ndarray, d: jnp.ndarray,
+                 R: jnp.ndarray | None = None,
+                 nfft: int | None = None) -> jnp.ndarray:
     """Schmidl–Cox metric evaluated at one (per-row, data-dependent) lag —
     the second sync opinion: M ≈ 1 exactly when the repeated-half SC symbol
     sits at `d` (frame-presence validation for the decode diagnostics).
 
+    Only the n_fft-sample window at `d` is touched — O(n_fft) work per row
+    instead of two full-recording prefix sums (which are O(T) HBM traffic
+    for a diagnostic and catastrophically cancel in float32 on long
+    recordings). Pass R = rfft(rx, nfft) to cut the window from an already
+    computed sync spectrum (shift theorem); otherwise a per-row dynamic
+    slice is used.
+
     rx: (..., T); d: (...,) int32 window start (clipped). Returns (...,) f32.
     """
     half = cfg.n_fft // 2
-    prod = rx[..., :-half] * rx[..., half:]
-    energy = rx[..., half:] ** 2
-    zero = jnp.zeros(rx.shape[:-1] + (1,), dtype=rx.dtype)
-    cs_p = jnp.concatenate([zero, jnp.cumsum(prod, axis=-1)], axis=-1)
-    cs_r = jnp.concatenate([zero, jnp.cumsum(energy, axis=-1)], axis=-1)
-    hi = cs_p.shape[-1] - 1
-    d = jnp.clip(d, 0, max(hi - half, 0))
-    du = d[..., None]
-    P = (jnp.take_along_axis(cs_p, du + half, axis=-1)
-         - jnp.take_along_axis(cs_p, du, axis=-1))[..., 0]
-    R = (jnp.take_along_axis(cs_r, du + half, axis=-1)
-         - jnp.take_along_axis(cs_r, du, axis=-1))[..., 0]
-    tot_e = cs_r[..., -1] - cs_r[..., 0]
-    R = jnp.maximum(R, 0.01 * tot_e / max(rx.shape[-1] // half, 1) + 1e-24)
-    return (P * P) / (R * R)
+    T = rx.shape[-1]
+    d = jnp.clip(jnp.broadcast_to(d, rx.shape[:-1]), 0, max(T - cfg.n_fft, 0))
+    if R is not None:
+        win = extract_windows_spec(R, d, cfg.n_fft, nfft)
+    else:
+        flat = rx.reshape(-1, T)
+        df = d.reshape(-1)
+        win = jax.vmap(
+            lambda r, s: jax.lax.dynamic_slice(r, (s,), (cfg.n_fft,))
+        )(flat, df).reshape(*rx.shape[:-1], cfg.n_fft)
+    first, second = win[..., :half], win[..., half:]
+    P = jnp.sum(first * second, axis=-1)
+    Rw = jnp.sum(second * second, axis=-1)
+    # energy floor: by Cauchy–Schwarz |P| ≤ √(E₁·E₂), so windows whose
+    # second half carries ≪ half the window energy (no repeated structure,
+    # or silence) are pushed toward M ≈ 0 rather than 0/0 noise
+    tot = jnp.sum(win * win, axis=-1)
+    Rw = jnp.maximum(Rw, 0.05 * tot + 1e-24)
+    return (P * P) / (Rw * Rw)

@@ -88,6 +88,21 @@ def parse_header(stream: bytes) -> tuple[bytes, str, bool]:
     return h.payload, h.filename, h.crc_ok
 
 
+def safe_filename(name: str, default: str = "decoded.bin") -> str:
+    """Sanitize an untrusted decoded filename to a bare basename.
+
+    Frame headers arrive over the air: a hostile transmission could carry
+    "../../.bashrc" or an absolute path, and `outdir / name` would escape
+    (pathlib substitutes an absolute right operand wholesale). Strip every
+    directory component (both separator conventions), reject empty/dot/NUL
+    names, and fall back to `default`.
+    """
+    name = (name or "").replace("\\", "/").split("/")[-1].strip()
+    if not name or name in (".", "..") or "\x00" in name:
+        return default
+    return name
+
+
 def parse_frame_header(stream: bytes) -> FrameHeader:
     """Full parse including the multi-frame seq/total fields."""
     if len(stream) < HEADER_OVERHEAD or stream[:2] != MAGIC:

@@ -18,6 +18,14 @@ FIXTURES = Path(__file__).parent / "fixtures"
 MANIFEST = json.loads((FIXTURES / "manifest.json").read_text())
 
 
+def test_manifest_format_matches_wire_format():
+    """The checked-in fixtures must carry the current wire-format marker —
+    catches a make_fixtures.py / gf3x.config.WIRE_FORMAT drift."""
+    from gf3x.config import WIRE_FORMAT
+
+    assert MANIFEST["format"] == WIRE_FORMAT
+
+
 @pytest.mark.parametrize("cap", MANIFEST["captures"], ids=lambda c: c["wav"])
 def test_capture_decodes_bit_exact(cap):
     rx, _ = read_wav(FIXTURES / cap["wav"])

@@ -83,3 +83,38 @@ def test_mmfft_parity_multiple_sizes():
         back = np.asarray(irfft_mm(jnp.asarray(got), n))
         refb = np.fft.irfft(ref, n, axis=-1)
         assert np.max(np.abs(back - refb)) < 2e-3 * np.max(np.abs(refb) + 1e-9)
+
+
+def test_safe_filename_strips_traversal():
+    from gf3x.utils.bits import safe_filename
+    assert safe_filename("report.txt") == "report.txt"
+    assert safe_filename("../../.bashrc") == ".bashrc"
+    assert safe_filename("/etc/passwd") == "passwd"
+    assert safe_filename("a\\b\\c.bin") == "c.bin"
+    assert safe_filename("..") == "decoded.bin"
+    assert safe_filename("") == "decoded.bin"
+    assert safe_filename("x\x00y") == "decoded.bin"
+    assert safe_filename("dir/") == "decoded.bin"
+
+
+def test_sc_metric_long_recording_no_cancellation():
+    """The full SC metric must stay sane on long recordings (ADVICE r1:
+    float32 prefix sums catastrophically cancel beyond ~1M samples)."""
+    import jax.numpy as jnp
+    from gf3x import GF3_STANDARD, Modem
+    from gf3x.ops.sync import schmidl_cox_metric
+
+    cfg = GF3_STANDARD
+    m = Modem(cfg)
+    rng = np.random.default_rng(7)
+    T = (1 << 20) + 50_000          # forces the ones-kernel correlation path
+    rx = (rng.standard_normal(T) * 0.01).astype(np.float32)
+    wav = m.encode(b"long-recording", "x.bin")
+    pos = T - cfg.frame_len - 1000
+    rx[pos: pos + wav.size] += wav
+    M = np.asarray(schmidl_cox_metric(cfg, jnp.asarray(rx)))
+    sc_body = pos + cfg.chirp_len + cfg.cp
+    # plateau at the SC symbol, quiet elsewhere
+    assert M[sc_body] > 0.5
+    far = np.concatenate([M[: pos - cfg.frame_len], M[pos + cfg.frame_len:]])
+    assert np.max(far) < 0.5

@@ -27,6 +27,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 from gf3x import CONFIG1_LOOPBACK, GF3_STANDARD, GoldenModem
+from gf3x.config import WIRE_FORMAT
 from gf3x.channel import awgn, clip, delay_gain, multipath, resample_sfo, room_impulse_response
 from gf3x.io import write_wav
 from gf3x.models.stream import encode_file
@@ -37,7 +38,7 @@ OUT = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
 
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
-    manifest = {"format": 1, "captures": []}
+    manifest = {"format": WIRE_FORMAT, "captures": []}
 
     def add(name, rx, payload, preset, filename, n_frames):
         write_wav(OUT / name, rx)
