@@ -57,14 +57,17 @@ def ber_sweep(
             wav = delay(wav, delay_samples)
         rx = awgn(key, wav, snrs[:, None])
         start = jnp.full(rx.shape[:-1], delay_samples, jnp.int32)
-        bits, diag = modem.demodulate_at(rx, start)
+        # one demod pass feeds both BER flavors: hard LLR decisions give the
+        # pre-FEC channel-bit errors, the FEC decode of the SAME LLRs gives
+        # the post-FEC errors (previously two full FFT/EQ/demap passes)
+        llr, _ = modem._demod_at(rx, start)
+        bits = modem._bits_from_llr(llr)
         post = jnp.mean((bits != info).astype(jnp.float32), axis=(1, 2))
         fer = jnp.mean(
             jnp.any(bits != info, axis=-1).astype(jnp.float32), axis=-1)
 
         # pre-FEC: raw channel bits vs hard demapper decisions
         coded = modem.fec_encode(info)
-        llr, _ = modem._demod_at(rx, start)
         pre = jnp.mean(((llr < 0).astype(jnp.uint8) != coded).astype(jnp.float32),
                        axis=(1, 2))
         return pre, post, fer

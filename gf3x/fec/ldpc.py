@@ -109,16 +109,42 @@ class LdpcCode:
         H = _dense_H(self.z)
         return ((c.astype(np.int64) @ H.T.astype(np.int64)) & 1).sum(axis=-1)
 
-    def decode(self, llr: np.ndarray, iters: int = 25) -> tuple[np.ndarray, int]:
+    def decode(self, llr: np.ndarray, iters: int = 25,
+               early_exit: bool = True) -> tuple[np.ndarray, int]:
         """NumPy normalized-min-sum (golden twin). llr: (..., n), positive ⇒
-        bit 0. Returns (info bits (..., k), iterations run)."""
+        bit 0. Returns (info bits (..., k), message-update passes run).
+
+        Early termination (all backends share the rule so decoded bits stay
+        bit-identical): before each message update, codewords whose current
+        totals already satisfy every parity check FREEZE — their messages
+        stop updating, so their bits are those of the first zero-syndrome
+        pass regardless of batch composition; the loop exits once every
+        codeword is frozen (or `iters` passes ran)."""
         lead = llr.shape[:-1]
         lam = llr.reshape(-1, self.n).astype(np.float64)
-        total = self._np_minsum(lam, iters)
+        total, it_run = self._np_minsum(lam, iters, early_exit)
         bits = (total < 0).astype(np.uint8)
-        return bits[..., : self.k].reshape(*lead, self.k), iters
+        return bits[..., : self.k].reshape(*lead, self.k), it_run
 
-    def _np_minsum(self, lam: np.ndarray, iters: int) -> np.ndarray:
+    def _np_unsat(self, totals: np.ndarray) -> np.ndarray:
+        """totals: (B, 25, z) (incl. dummy col) → (B,) bool, True where any
+        parity check of the hard decisions is violated."""
+        t, z = self.t, self.z
+        hard = totals[:, :N_BLOCK_COLS] < 0                       # (B, 24, z)
+        unsat = np.zeros(totals.shape[0], dtype=bool)
+        for i in range(N_BLOCK_ROWS):
+            par = np.zeros((totals.shape[0], z), dtype=bool)
+            for d in range(t.dmax):
+                if not t.edge_valid[i, d]:
+                    continue
+                # check c of block row i touches var (c + s) mod z of col j
+                par ^= np.roll(hard[:, t.edge_col[i, d]],
+                               -int(t.edge_shift[i, d]), axis=-1)
+            unsat |= par.any(axis=-1)
+        return unsat
+
+    def _np_minsum(self, lam: np.ndarray, iters: int,
+                   early_exit: bool = True) -> tuple[np.ndarray, int]:
         t, z = self.t, self.z
         B = lam.shape[0]
         lam_b = lam.reshape(B, N_BLOCK_COLS, z)
@@ -127,11 +153,22 @@ class LdpcCode:
         gv = np.broadcast_to(t.to_var_idx[:, :, None, :], (N_BLOCK_ROWS, t.dmax, B, z))
         gc = np.broadcast_to(t.to_chk_idx[:, :, None, :], (N_BLOCK_ROWS, t.dmax, B, z))
         valid = t.edge_valid[:, :, None, None]
-        for _ in range(iters):
+
+        def totals_of(c2v):
             contrib = np.take_along_axis(c2v, gv, axis=-1) * valid   # var order
             totals = lam_b.copy()
             np.add.at(totals.transpose(1, 0, 2), t.edge_col.reshape(-1),
                       contrib.reshape(-1, B, z))
+            return totals, contrib
+
+        it_run = 0
+        frozen = np.zeros(B, dtype=bool)
+        for _ in range(iters):
+            totals, contrib = totals_of(c2v)
+            if early_exit:
+                frozen = ~self._np_unsat(totals)
+                if frozen.all():
+                    break
             v2c_var = totals[:, t.edge_col].transpose(1, 2, 0, 3) - contrib
             v2c = np.take_along_axis(v2c_var, gc, axis=-1)           # check order
             mag = np.where(valid, np.abs(v2c), np.inf)
@@ -142,12 +179,11 @@ class LdpcCode:
             mask = np.arange(t.dmax)[None, :, None, None] == am
             m2 = np.min(np.where(mask, np.inf, mag), axis=1, keepdims=True)
             mins = np.where(mask, m2, m1)
-            c2v = _ALPHA * (prod * sgn) * mins * valid
-        contrib = np.take_along_axis(c2v, gv, axis=-1) * valid
-        totals = lam_b.copy()
-        np.add.at(totals.transpose(1, 0, 2), t.edge_col.reshape(-1),
-                  contrib.reshape(-1, B, z))
-        return totals[:, :N_BLOCK_COLS].reshape(lam.shape[0], self.n)
+            new = _ALPHA * (prod * sgn) * mins * valid
+            c2v = np.where(frozen[None, None, :, None], c2v, new)
+            it_run += 1
+        totals, _ = totals_of(c2v)
+        return totals[:, :N_BLOCK_COLS].reshape(B, self.n), it_run
 
     # -------------------------------------------------------------- jax path
     def encode_jax(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -159,7 +195,8 @@ class LdpcCode:
         return jnp.concatenate([u.astype(jnp.uint8), p], axis=-1)
 
     def decode_jax(self, llr: jnp.ndarray, iters: int,
-                   use_pallas: bool | None = None) -> jnp.ndarray:
+                   use_pallas: bool | None = None,
+                   early_exit: bool = True) -> jnp.ndarray:
         """(..., n) float32 LLRs (positive ⇒ bit 0) → (..., k) uint8 info bits.
 
         Flooding normalized min-sum, all shapes static. Leading dims are
@@ -174,6 +211,11 @@ class LdpcCode:
         lowering on TPU is orders of magnitude slower (measured 6.2 s vs
         ~30 ms at batch 4096 codewords; the Pallas kernel removes the
         remaining per-iteration HBM traffic).
+
+        `early_exit` enables on-device early termination (same freeze rule
+        as `decode`; `iters` becomes the maximum): at operating SNR most
+        codewords converge in <10 of the 25 budgeted iterations, so the
+        dominant decode cost roughly halves.
         """
         t, z = self.t, self.z
         lead = llr.shape[:-1]
@@ -188,7 +230,7 @@ class LdpcCode:
             lam_t = lam.reshape(B, N_BLOCK_COLS, z).transpose(1, 2, 0)
             if Bp != B:
                 lam_t = jnp.pad(lam_t, ((0, 0), (0, 0), (0, Bp - B)))
-            tot = minsum_totals_tpu(lam_t, z, iters)[..., :B]
+            tot = minsum_totals_tpu(lam_t, z, iters, early_exit)[..., :B]
             total = tot.transpose(2, 0, 1).reshape(B, self.n)
             bits = (total < 0).astype(jnp.uint8)
             return bits[:, : self.k].reshape(*lead, self.k)
@@ -214,14 +256,16 @@ class LdpcCode:
                 cols.append(acc)
             return jnp.stack(cols, axis=1), contrib
 
-        def body(_, c2v):
-            tot, contrib = totals_of(c2v)
+        def update(c2v, tot, frozen):
+            """One flooding check-node pass; frozen (B,) lanes keep their
+            messages. v2c in check order uses the exact roll identity
+            roll(tot − roll(c2v, s), −s) = roll(tot, −s) − c2v (permutation
+            of identical pairs ⇒ bit-identical, one roll instead of two)."""
             new = [None] * E
             for i in range(N_BLOCK_ROWS):
-                # v2c for this check row, in check order: (d, B, z)
                 v2c = jnp.stack(
-                    [jnp.roll(tot[:, j] - contrib[e], -s, axis=-1)
-                     for (e, j, s) in rows[i]], axis=0)
+                    [jnp.roll(tot[:, j], -s, axis=-1) - c2v[e]
+                     for (e, j, s) in rows[i]], axis=0)               # (d, B, z)
                 mag = jnp.abs(v2c)
                 sgn = jnp.where(v2c < 0, -1.0, 1.0)
                 prod = jnp.prod(sgn, axis=0, keepdims=True)
@@ -234,10 +278,42 @@ class LdpcCode:
                 out = _ALPHA * (prod * sgn) * mins                    # (d, B, z)
                 for di, (e, _, _) in enumerate(rows[i]):
                     new[e] = out[di]
-            return jnp.stack(new, axis=0)
+            new = jnp.stack(new, axis=0)
+            if frozen is None:
+                return new
+            return jnp.where(frozen[None, :, None], c2v, new)
+
+        def unsat_of(tot):
+            """(B, 24, z) totals → (B,) bool: any parity check violated."""
+            hard = tot < 0
+            unsat = jnp.zeros(B, dtype=bool)
+            for i in range(N_BLOCK_ROWS):
+                par = jnp.zeros((B, z), dtype=bool)
+                for (_, j, s) in rows[i]:
+                    par = par ^ jnp.roll(hard[:, j], -s, axis=-1)
+                unsat = unsat | jnp.any(par, axis=-1)
+            return unsat
 
         c2v = jnp.zeros((E, B, z), jnp.float32)
-        c2v = jax.lax.fori_loop(0, iters, body, c2v)
+        if early_exit:
+            def cond(state):
+                it, done, _ = state
+                return (it < iters) & jnp.logical_not(done)
+
+            def body(state):
+                it, _, c2v = state
+                tot, _ = totals_of(c2v)
+                frozen = jnp.logical_not(unsat_of(tot))
+                return it + 1, jnp.all(frozen), update(c2v, tot, frozen)
+
+            _, _, c2v = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.bool_(False), c2v))
+        else:
+            def body(_, c2v):
+                tot, _ = totals_of(c2v)
+                return update(c2v, tot, None)
+
+            c2v = jax.lax.fori_loop(0, iters, body, c2v)
         tot, _ = totals_of(c2v)
         total = tot.reshape(B, self.n)
         bits = (total < 0).astype(jnp.uint8)

@@ -176,6 +176,41 @@ class GoldenModem:
         R = np.maximum(R, 0.05 * R.max() + 1e-24)
         return (P * P) / (R * R)
 
+    # ------------------------------------------------------- clock offset (L4/L5)
+    def sc_clock_offset(self, sc_win: np.ndarray) -> float:
+        """Coarse SFO (fractional clock offset) from the SC symbol's halves —
+        the real-passband adaptation of Schmidl–Cox fractional CFO
+        ∠P/(πT_half) (SURVEY.md:133, :399): per-bin phase slope between the
+        DFTs of the two halves. Twin of `gf3x.ops.sfo.sc_clock_offset`."""
+        c, lay = self.cfg, self.lay
+        half = c.n_fft // 2
+        guard = half // 4          # tolerate ±guard window misalignment
+        L = half - 2 * guard
+        used = lay.used_bins
+        q = (used[(used % 2) == 0] // 2).astype(np.float64)
+        n = np.arange(L, dtype=np.float64)[:, None]
+        W = np.exp(-2j * np.pi * n * q[None, :] / half)
+        y1 = sc_win[guard: guard + L] @ W
+        y2 = sc_win[guard + half: guard + half + L] @ W
+        rho = np.conj(y1) * y2
+        inc = rho[1:] * np.conj(rho[:-1])
+        a = np.angle(np.sum(inc)) / float(np.mean(np.diff(q)))
+        Q = max(2, len(q) // 4)
+        zd = rho * np.exp(-1j * a * q)
+        corr = np.sum(zd[Q:] * np.conj(zd[:-Q]))
+        a = a + np.angle(corr) / float(np.mean(q[Q:] - q[:-Q]))
+        tau = a * half / (2.0 * np.pi)
+        return float(tau / half)
+
+    def slope_clock_offset(self, slopes: np.ndarray) -> float:
+        """Fine SFO from the per-symbol pilot-slope regression (rad/bin →
+        fractional offset). Twin of `gf3x.ops.sfo.slope_clock_offset`."""
+        c = self.cfg
+        d = np.arange(len(slopes), dtype=np.float64)
+        dc = d - d.mean()
+        a = float(np.sum(dc * slopes) / np.sum(dc * dc))
+        return a * c.n_fft / (2.0 * np.pi * c.symbol_len)
+
     # -------------------------------------------------------------- OFDM (L3)
     def ofdm_modulate(self, sym_bins: np.ndarray) -> np.ndarray:
         """(S, n_used) complex bin values → (S·(N+CP),) real samples."""
@@ -187,21 +222,38 @@ class GoldenModem:
         with_cp = np.concatenate([x[:, -c.cp:], x], axis=-1)
         return with_cp.reshape(-1)
 
-    def ofdm_demodulate(self, samples: np.ndarray) -> np.ndarray:
-        """(S·(N+CP),) real samples → (S, n_used) complex bin values."""
+    def ofdm_demodulate(self, samples: np.ndarray, delta: float = 0.0) -> np.ndarray:
+        """(S·(N+CP),) real samples → (S, n_used) complex bin values.
+
+        `delta` ≠ 0 demodulates at clock-offset-warped frequencies k(1+δ)
+        (the SFO correction — twin of the JAX warped-DFT path)."""
         c, lay = self.cfg, self.lay
         sym = samples.reshape(-1, c.symbol_len)[:, c.cp:]
+        if delta:
+            n = np.arange(c.n_fft, dtype=np.float64)[:, None]
+            k = lay.used_bins.astype(np.float64)[None, :]
+            W = np.exp(-2j * np.pi * n * k * (1.0 + delta) / c.n_fft)
+            return (sym @ W) / c.ofdm_scale
         spec = np.fft.rfft(sym, c.n_fft, axis=-1) / c.ofdm_scale
         return spec[:, lay.used_bins]
 
     # ------------------------------------------------------ channel est. (L5)
-    def estimate_channel(self, known_rx: np.ndarray) -> tuple[np.ndarray, float]:
+    def estimate_channel(self, known_rx: np.ndarray,
+                         delta: float = 0.0) -> tuple[np.ndarray, float]:
         """LS estimate Ĥ[k] = mean_r(Y_r[k]/X_r[k]) + scalar noise variance.
 
         SURVEY.md Appendix "LS channel estimate". noise_var is the residual
         power of Y − Ĥ·X averaged over bins and repeats (used to scale LLRs).
+        `delta` derotates each known symbol's SFO drift ramp before the
+        average (twin of `gf3x.ops.chanest.estimate_channel`).
         """
         lay = self.lay
+        if delta:
+            c = self.cfg
+            k = lay.used_bins.astype(np.float64)[None, :]
+            r = np.arange(c.n_known_symbols, dtype=np.float64)[:, None]
+            known_rx = known_rx * np.exp(
+                -2j * np.pi * k * (delta * c.symbol_len) * r / c.n_fft)
         ratio = known_rx / lay.known_syms
         H = ratio.mean(axis=0)
         resid = known_rx - H[None, :] * lay.known_syms
@@ -301,8 +353,10 @@ class GoldenModem:
         assert wav.size == c.frame_len
         return wav
 
-    def demod_frame(self, rx: np.ndarray, start: int) -> tuple[np.ndarray, dict]:
-        """Demodulate one frame whose chirp begins at `start` → (LLRs, diag)."""
+    def demod_frame(self, rx: np.ndarray, start: int,
+                    delta: float = 0.0) -> tuple[np.ndarray, dict]:
+        """Demodulate one frame whose chirp begins at `start` → (LLRs, diag).
+        `delta` applies the clock-offset-warped demod."""
         c = self.cfg
         backoff = c.cp // 4  # start FFT windows inside the CP (SURVEY.md §8)
         ofdm_start = start + c.preamble_len - backoff
@@ -310,8 +364,8 @@ class GoldenModem:
         need = n_sym * c.symbol_len
         if ofdm_start < 0 or ofdm_start + need > rx.size:
             raise ValueError("frame extends past the recording")
-        Y = self.ofdm_demodulate(rx[ofdm_start: ofdm_start + need])
-        H, noise_var = self.estimate_channel(Y[: c.n_known_symbols])
+        Y = self.ofdm_demodulate(rx[ofdm_start: ofdm_start + need], delta)
+        H, noise_var = self.estimate_channel(Y[: c.n_known_symbols], delta)
         eq = self.equalize(Y[c.n_known_symbols:], H)
         eq, slope, cpe = self.pilot_phase_correct(eq)
         csi = np.abs(H) ** 2  # (n_used,)
@@ -325,23 +379,59 @@ class GoldenModem:
         diag = {
             "H": H, "noise_var": noise_var, "pilot_slope": slope,
             "common_phase": cpe, "evm": evm,
+            # pilot slopes measure the full timing drift (= δ) on warped
+            # and unwarped demods alike
+            "clock_ppm": self.slope_clock_offset(slope) * 1e6,
         }
         return llr, diag
 
-    def decode(self, rx: np.ndarray, start: Optional[int] = None) -> GoldenDecodeResult:
+    def decode(self, rx: np.ndarray, start: Optional[int] = None,
+               sfo: str = "auto") -> GoldenDecodeResult:
         """waveform → bytes (BASELINE.json:5 public API).
 
         `start` overrides sync (loopback tests); otherwise chirp matched
-        filtering locates the frame.
+        filtering locates the frame. sfo: 'off' | 'auto' | 'on' — the
+        clock-offset correction loop (SC coarse estimate → warped demod →
+        pilot-slope residual → final warped demod), twin of
+        `Modem.demodulate_sfo`.
         """
         c = self.cfg
         rx = np.asarray(rx, dtype=np.float64)
+        synced = start is None
         if start is None:
             start, peak_metric = self.find_frame_start(rx)
         else:
             peak_metric = float("inf")
+
+        def demod(delta: float) -> tuple[np.ndarray, dict]:
+            llr, diag = self.demod_frame(rx, start, delta)
+            diag["sync_start"] = start
+            diag["sync_peak_metric"] = peak_metric
+            return llr, diag
+
+        def correction_delta() -> float:
+            # the SC coarse estimate only SEEDS the warped pass (fixing its
+            # ICI); that pass's pilot slopes measure δ itself (see the JAX
+            # twin `_two_pass_delta`)
+            d0 = 0.0
+            if c.use_schmidl_cox:
+                o = start + c.chirp_len + c.cp
+                if 0 <= o and o + c.n_fft <= rx.size:
+                    d0 = self.sc_clock_offset(rx[o: o + c.n_fft])
+            _, diag_a = self.demod_frame(rx, start, d0)
+            return self.slope_clock_offset(diag_a["pilot_slope"])
+
         try:
-            llr, diag = self.demod_frame(rx, start)
+            if sfo == "on" and synced:
+                res = self._finish(*demod(correction_delta()))
+            else:
+                res = self._finish(*demod(0.0))
+                if (sfo == "auto" and synced and c.use_schmidl_cox
+                        and (not res.crc_ok
+                             or abs(res.diag["clock_ppm"]) > 350.0)):
+                    retry = self._finish(*demod(correction_delta()))
+                    if retry.crc_ok or not res.crc_ok:
+                        res = retry
         except ValueError:
             # no (complete) frame at the sync position — failed decode, not a crash
             return GoldenDecodeResult(
@@ -350,8 +440,11 @@ class GoldenModem:
                 diag={"sync_start": start, "sync_peak_metric": peak_metric,
                       "error": "frame extends past the recording"},
             )
-        diag["sync_start"] = start
-        diag["sync_peak_metric"] = peak_metric
+        return res
+
+    def _finish(self, llr: np.ndarray, diag: dict) -> GoldenDecodeResult:
+        """Descramble → FEC decode → header parse (the L1 tail of decode)."""
+        c = self.cfg
         llr = llr * (1.0 - 2.0 * self.lay.scramble)   # descramble channel bits
         if c.fec == "ldpc":
             used = c.n_codewords * c.ldpc_n

@@ -52,6 +52,11 @@ class DecodeDiag(NamedTuple):
     common_phase: jnp.ndarray    # (..., D) f32 — per-symbol phase error
     evm: jnp.ndarray             # (...,) f32 — mean |X̂ − hard-decision|²
     mean_abs_llr: jnp.ndarray    # (...,) f32 — demapper confidence
+    clock_ppm: jnp.ndarray       # (...,) f32 — TX/RX sampling-clock offset
+                                 # estimate (ppm) from the cross-symbol
+                                 # pilot-slope regression (ops.sfo); on the
+                                 # SFO-corrected path this includes the
+                                 # applied correction
 
 
 @dataclass
@@ -125,40 +130,44 @@ class Modem:
         return jnp.concatenate(parts, axis=-1)
 
     # ------------------------------------------------------- device: receive
-    def _eq_stage(self, rx: jnp.ndarray, start: jnp.ndarray,
-                  R: Optional[jnp.ndarray] = None, nfft: Optional[int] = None):
-        """Sync-position → equalized, phase-tracked data symbols.
+    def _cut_frame(self, rx: jnp.ndarray, start: jnp.ndarray,
+                   R: Optional[jnp.ndarray] = None,
+                   nfft: Optional[int] = None):
+        """Sync position → (body (..., (K+D)·symbol_len), sc_win or None).
 
-        rx: (..., T), start: (...,) int32 → (data (..., D, n_data_bins)
-        complex, nv_eff (..., n_data_bins), (H, noise_var, slope, cpe)).
-        The data-dependent frame cut uses the FFT shift theorem on the
-        recording spectrum (see `extract_windows_spec`) — pass R/nfft to
-        reuse the matched filter's rfft."""
+        ONE shift-theorem extraction (see `extract_windows_spec`) covers
+        both the Schmidl–Cox symbol and the OFDM body — previously the SC
+        presence check and the body cut each paid a full-grid inverse FFT.
+        Pass R = rfft(rx, nfft) to reuse the matched filter's spectrum.
+        The body starts `cp//4` inside the CP (timing backoff, SURVEY.md §8
+        data-dependent control flow risk)."""
         from ..ops.sync import extract_windows_spec, rx_spectrum, sync_nfft
-        from .frame import split_pilots
 
         cfg = self.cfg
         T = rx.shape[-1]
-        n_sym = cfg.n_known_symbols + cfg.n_data_symbols
-        need = n_sym * cfg.symbol_len
+        need = (cfg.n_known_symbols + cfg.n_data_symbols) * cfg.symbol_len
         backoff = cfg.cp // 4
-        ofdm_start = jnp.clip(start + cfg.preamble_len - backoff, 0, max(T - need, 0))
-        ofdm_start = jnp.broadcast_to(ofdm_start, rx.shape[:-1])
-
+        cut_len = cfg.sc_len + need
+        base = jnp.clip(start + cfg.chirp_len - backoff, 0, max(T - cut_len, 0))
+        base = jnp.broadcast_to(base, rx.shape[:-1])
         if R is None:
             nfft = sync_nfft(T, 0)
             R = rx_spectrum(rx, nfft)
-        window = extract_windows_spec(R, ofdm_start, need, nfft)
+        W = extract_windows_spec(R, base, cut_len, nfft)
+        body = W[..., cfg.sc_len:]
+        sc_win = None
+        if cfg.use_schmidl_cox:
+            o = cfg.cp + backoff                 # SC body start within the cut
+            sc_win = W[..., o: o + cfg.n_fft]
+        return body, sc_win
 
-        Y = ofdm_demodulate(cfg, window)                       # (..., K+D, n_used)
-        H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
-        eq = equalize(H, Y[..., cfg.n_known_symbols:, :])
-        eq, slope, cpe = pilot_phase_correct(cfg, eq)
+    def _sc_of(self, sc_win: Optional[jnp.ndarray], lead: tuple) -> jnp.ndarray:
+        """SC-symbol presence metric (≈1 on a frame) from its n_fft window."""
+        from ..ops.sync import sc_metric_window
 
-        _, data = split_pilots(cfg, eq)                        # (..., D, n_data_bins)
-        csi = jnp.abs(H) ** 2
-        _, nv_eff = split_pilots(cfg, noise_var[..., None] / jnp.maximum(csi, 1e-12))
-        return data, nv_eff, (H, noise_var, slope, cpe)
+        if sc_win is None:
+            return jnp.zeros(lead, jnp.float32)
+        return sc_metric_window(self.cfg, sc_win).astype(jnp.float32)
 
     def _demod_at(self, rx: jnp.ndarray, start: jnp.ndarray,
                   R: Optional[jnp.ndarray] = None, nfft: Optional[int] = None,
@@ -166,46 +175,10 @@ class Modem:
         """Demodulate frames whose chirp onset is `start`. rx: (..., T),
         start: (...,) int32 → (llr (..., raw_bits), diag pieces).
 
-        On TPU (strided pilot layouts) the post-FFT chain — EQ, pilot
-        tracking, derotation, demap, EVM — runs as the fused Pallas kernel
-        (`ops.pallas.fused_eq`); elsewhere as the XLA twin."""
-        cfg = self.cfg
-        if use_pallas is None:
-            from ..utils.device import computation_on_tpu
-            use_pallas = computation_on_tpu() and cfg.strided_pilots
-        if use_pallas:
-            return self._demod_at_fused(rx, start, R, nfft)
-        data, nv_eff, (H, noise_var, slope, cpe) = self._eq_stage(rx, start, R, nfft)
-        llr3 = qam_demap_llr(
-            data, jnp.broadcast_to(nv_eff[..., None, :], data.shape), cfg.bits_per_symbol
-        )
-        hard = hard_bits(llr3)
-        evm = jnp.mean(jnp.abs(data - qam_map(hard, cfg.bits_per_symbol)) ** 2, axis=(-2, -1))
-        llr = llr3.reshape(*rx.shape[:-1], cfg.raw_bits_per_frame)
-        return llr, (H, noise_var, slope, cpe, evm)
-
-    def _demod_at_fused(self, rx: jnp.ndarray, start: jnp.ndarray,
-                        R: Optional[jnp.ndarray], nfft: Optional[int],
-                        interpret: bool = False):
-        """TPU path of `_demod_at`: window cut + FFT + LS estimate in XLA,
-        then the fused EQ/track/demap Pallas kernel per (symbol, lane-block)."""
-        from ..ops.sync import extract_windows_spec, rx_spectrum, sync_nfft
-
-        cfg = self.cfg
-        lead = rx.shape[:-1]
-        T = rx.shape[-1]
-        n_sym = cfg.n_known_symbols + cfg.n_data_symbols
-        need = n_sym * cfg.symbol_len
-        backoff = cfg.cp // 4
-        ofdm_start = jnp.clip(start + cfg.preamble_len - backoff, 0, max(T - need, 0))
-        ofdm_start = jnp.broadcast_to(ofdm_start, lead)
-        if R is None:
-            nfft = sync_nfft(T, 0)
-            R = rx_spectrum(rx, nfft)
-        window = extract_windows_spec(R, ofdm_start, need, nfft)
-        Y = ofdm_demodulate(cfg, window)                       # (..., K+D, n_used)
-        H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
-        return self._fused_eq_demap(Y, H, noise_var, lead, interpret)
+        Window cut via the shared spectrum, then the common prewindowed
+        tail (fused Pallas EQ/demap on TPU, XLA twin elsewhere)."""
+        body, _ = self._cut_frame(rx, start, R, nfft)
+        return self._demod_prewindowed(body, use_pallas)
 
     def _fused_eq_demap(self, Y: jnp.ndarray, H: jnp.ndarray,
                         noise_var: jnp.ndarray, lead: tuple,
@@ -235,6 +208,25 @@ class Modem:
         evm = jnp.mean(diag_p[:, 2, :B], axis=0).reshape(lead)
         return llr, (H, noise_var, slope, cpe, evm)
 
+    def _eq_body(self, body: jnp.ndarray, delta=None):
+        """CP-aligned OFDM body → equalized, phase-tracked data symbols.
+
+        body: (..., (K+D)·symbol_len) → (data (..., D, n_data_bins) complex,
+        nv_eff (..., n_data_bins), (H, noise_var, slope, cpe)). The XLA
+        (non-Pallas) receive tail, shared by `_demod_prewindowed` and
+        `equalized_symbols`. `delta` routes to the δ-warped DFT demod."""
+        from .frame import split_pilots
+
+        cfg = self.cfg
+        Y = ofdm_demodulate(cfg, body, delta)                  # (..., K+D, n_used)
+        H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :], delta)
+        eq = equalize(H, Y[..., cfg.n_known_symbols:, :])
+        eq, slope, cpe = pilot_phase_correct(cfg, eq)
+        _, data = split_pilots(cfg, eq)                        # (..., D, n_data_bins)
+        csi = jnp.abs(H) ** 2
+        _, nv_eff = split_pilots(cfg, noise_var[..., None] / jnp.maximum(csi, 1e-12))
+        return data, nv_eff, (H, noise_var, slope, cpe)
+
     def equalized_symbols(self, rx: np.ndarray, start: Optional[int] = None) -> np.ndarray:
         """Host API for constellation plots/analysis: the equalized,
         phase-tracked data symbols of one recording → (..., D, n_data_bins)
@@ -242,7 +234,8 @@ class Modem:
         rx = jnp.asarray(np.asarray(rx, dtype=np.float32))
 
         def fn(r, s):
-            data, _, _ = self._eq_stage(r, s)
+            body, _ = self._cut_frame(r, s)
+            data, _, _ = self._eq_body(body)
             return jnp.stack([data.real, data.imag], axis=-1)
 
         if start is None:
@@ -267,63 +260,57 @@ class Modem:
             return info.reshape(*lead, cfg.payload_bits_per_frame)
         return hard_bits(llr)
 
-    def _sc_check(self, rx: jnp.ndarray, start: jnp.ndarray,
-                  R: Optional[jnp.ndarray] = None,
-                  nfft: Optional[int] = None) -> jnp.ndarray:
-        """SC-symbol presence metric at the synced position (≈1 on a frame).
-        Pass R/nfft to reuse the sync spectrum for the window cut."""
-        from ..ops.sync import sc_metric_at
-
-        cfg = self.cfg
-        if not cfg.use_schmidl_cox:
-            return jnp.zeros(rx.shape[:-1], jnp.float32)
-        body = jnp.broadcast_to(start, rx.shape[:-1]) + cfg.chirp_len + cfg.cp
-        return sc_metric_at(cfg, rx, body, R=R, nfft=nfft).astype(jnp.float32)
-
-    def demodulate_prewindowed(self, windows: jnp.ndarray):
+    def demodulate_prewindowed(self, windows: jnp.ndarray,
+                               sfo_correct: bool = False):
         """Decode frames already cut at their chirp onset: windows
         (..., frame_len) → (bits, DecodeDiag).
 
         The streaming receiver slices exact frame windows on the host, so
         the shift-theorem extraction (two full-recording FFTs) reduces to a
         static slice — this path does only the per-symbol OFDM FFTs.
+        `sfo_correct` inserts the clock-offset loop (see `demodulate_sfo`).
         """
+        from ..ops.sfo import slope_clock_offset
+
         cfg = self.cfg
         need = (cfg.n_known_symbols + cfg.n_data_symbols) * cfg.symbol_len
         a = cfg.preamble_len - cfg.cp // 4   # a + need = frame_len − backoff
         body = windows[..., a: a + need]
-        llr, (H, nv, slope, cpe, evm) = self._demod_prewindowed(body)
+        sc_win = None
+        if cfg.use_schmidl_cox:
+            o = cfg.chirp_len + cfg.cp       # SC body within the window
+            sc_win = windows[..., o: o + cfg.n_fft]
+        delta = self._two_pass_delta(body, sc_win) if sfo_correct else None
+        llr, (H, nv, slope, cpe, evm) = self._demod_prewindowed(body, delta=delta)
         bits = self._bits_from_llr(llr)
+        ppm = slope_clock_offset(cfg, slope) * 1e6
         zeros = jnp.zeros(windows.shape[:-1], jnp.int32)
         diag = DecodeDiag(
             sync_start=zeros,
             sync_metric=jnp.full(windows.shape[:-1], jnp.inf, jnp.float32),
-            sc_metric=self._sc_check(windows, zeros),
+            sc_metric=self._sc_of(sc_win, windows.shape[:-1]),
             H=jnp.stack([H.real, H.imag], axis=-1).astype(jnp.float32),
             noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
             mean_abs_llr=jnp.mean(jnp.abs(llr), axis=-1),
+            clock_ppm=jnp.broadcast_to(ppm, windows.shape[:-1]).astype(jnp.float32),
         )
         return bits, diag
 
-    def _demod_prewindowed(self, body: jnp.ndarray, use_pallas: Optional[bool] = None):
+    def _demod_prewindowed(self, body: jnp.ndarray, use_pallas: Optional[bool] = None,
+                           delta=None):
         """Demap a CP-aligned OFDM body (..., (K+D)·symbol_len) — the common
-        tail of both decode paths (window extraction already done). Routes
-        to the fused Pallas EQ/demap kernel on TPU like `_demod_at`."""
-        from .frame import split_pilots
-
+        tail of every decode path (window extraction already done). Routes
+        to the fused Pallas EQ/demap kernel on TPU, the XLA twin elsewhere.
+        `delta` (traced scalar) routes the FFT stage to the δ-warped DFT."""
         cfg = self.cfg
         if use_pallas is None:
             from ..utils.device import computation_on_tpu
             use_pallas = computation_on_tpu() and cfg.strided_pilots
-        Y = ofdm_demodulate(cfg, body)
-        H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
         if use_pallas:
+            Y = ofdm_demodulate(cfg, body, delta)
+            H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :], delta)
             return self._fused_eq_demap(Y, H, noise_var, body.shape[:-1])
-        eq = equalize(H, Y[..., cfg.n_known_symbols:, :])
-        eq, slope, cpe = pilot_phase_correct(cfg, eq)
-        _, data = split_pilots(cfg, eq)
-        csi = jnp.abs(H) ** 2
-        _, nv_eff = split_pilots(cfg, noise_var[..., None] / jnp.maximum(csi, 1e-12))
+        data, nv_eff, (H, noise_var, slope, cpe) = self._eq_body(body, delta)
         llr3 = qam_demap_llr(
             data, jnp.broadcast_to(nv_eff[..., None, :], data.shape), cfg.bits_per_symbol
         )
@@ -332,42 +319,89 @@ class Modem:
         llr = llr3.reshape(*body.shape[:-1], cfg.raw_bits_per_frame)
         return llr, (H, noise_var, slope, cpe, evm)
 
-    def demodulate_at(self, rx: jnp.ndarray, start: jnp.ndarray):
-        """Decode with known frame start (loopback paths, BASELINE.json:7)."""
-        llr, (H, nv, slope, cpe, evm) = self._demod_at(rx, start)
+    def _two_pass_delta(self, body: jnp.ndarray, sc_win: Optional[jnp.ndarray]):
+        """Clock-offset correction loop (coarse → fine): the SC fractional
+        estimate seeds a δ-warped demod pass; that pass's pilot slopes give
+        the final δ̂. (The warp corrects the FREQUENCY scaling — ICI — so
+        the pilot fits come out clean; the slopes themselves still measure
+        the full timing drift 2πδ·symbol_len·d/N, i.e. δ itself, NOT the
+        residual vs d0.) Returns a traced SCALAR δ̂ — one shared TX/RX
+        clock pair per jit call; batch rows are averaged."""
+        from ..ops.sfo import sc_clock_offset, slope_clock_offset
+
+        cfg = self.cfg
+        if sc_win is not None:
+            d0 = jnp.mean(sc_clock_offset(cfg, sc_win))
+        else:
+            d0 = jnp.float32(0.0)
+        _, (_, _, slope_a, _, _) = self._demod_prewindowed(body, delta=d0)
+        return jnp.mean(slope_clock_offset(cfg, slope_a))
+
+    def _demod_synced(self, rx: jnp.ndarray, start: jnp.ndarray,
+                      metric: jnp.ndarray,
+                      R: Optional[jnp.ndarray] = None,
+                      nfft: Optional[int] = None,
+                      sfo_correct: bool = False):
+        """Shared decode tail once a frame start is known: cut → demap →
+        FEC → DecodeDiag. `sfo_correct` inserts the clock-offset loop
+        (SC coarse estimate → warped-DFT demod → slope residual → final
+        warped demod)."""
+        from ..ops.sfo import slope_clock_offset
+
+        cfg = self.cfg
+        body, sc_win = self._cut_frame(rx, start, R, nfft)
+        delta = self._two_pass_delta(body, sc_win) if sfo_correct else None
+        llr, (H, nv, slope, cpe, evm) = self._demod_prewindowed(body, delta=delta)
         bits = self._bits_from_llr(llr)
+        # pilot slopes measure the full timing drift (= δ) on warped and
+        # unwarped passes alike — no delta offset to add
+        ppm = slope_clock_offset(cfg, slope) * 1e6
         diag = DecodeDiag(
             sync_start=jnp.broadcast_to(start, rx.shape[:-1]).astype(jnp.int32),
-            sync_metric=jnp.full(rx.shape[:-1], jnp.inf, jnp.float32),
-            sc_metric=self._sc_check(rx, start),
+            sync_metric=jnp.broadcast_to(metric, rx.shape[:-1]).astype(jnp.float32),
+            sc_metric=self._sc_of(sc_win, rx.shape[:-1]),
             H=jnp.stack([H.real, H.imag], axis=-1).astype(jnp.float32),
             noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
             mean_abs_llr=jnp.mean(jnp.abs(llr), axis=-1),
+            clock_ppm=jnp.broadcast_to(ppm, rx.shape[:-1]).astype(jnp.float32),
         )
         return bits, diag
+
+    def demodulate_at(self, rx: jnp.ndarray, start: jnp.ndarray):
+        """Decode with known frame start (loopback paths, BASELINE.json:7)."""
+        return self._demod_synced(rx, start, jnp.float32(jnp.inf))
 
     def demodulate(self, rx: jnp.ndarray):
         """Full RX stack (SURVEY.md §4.2): sync → FFT → LS est → EQ → pilot
         tracking → demap → FEC. rx: (..., T) f32 → (bits, DecodeDiag).
 
-        One rfft of the recording feeds both the chirp matched filter and
-        the shift-theorem frame cut."""
+        One rfft of the recording feeds the chirp matched filter, the
+        shift-theorem frame cut, and the SC presence check."""
         from ..ops.sync import rx_spectrum, sync_nfft
 
         T = rx.shape[-1]
         nfft = sync_nfft(T, len(self.chirp))
         R = rx_spectrum(rx, nfft)
         start, metric = find_frame_start(self.cfg, rx, self.chirp, R=R, nfft=nfft)
-        llr, (H, nv, slope, cpe, evm) = self._demod_at(rx, start, R=R, nfft=nfft)
-        bits = self._bits_from_llr(llr)
-        diag = DecodeDiag(
-            sync_start=start.astype(jnp.int32), sync_metric=metric,
-            sc_metric=self._sc_check(rx, start, R=R, nfft=nfft),
-            H=jnp.stack([H.real, H.imag], axis=-1).astype(jnp.float32),
-            noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
-            mean_abs_llr=jnp.mean(jnp.abs(llr), axis=-1),
-        )
-        return bits, diag
+        return self._demod_synced(rx, start, metric, R=R, nfft=nfft)
+
+    def demodulate_sfo(self, rx: jnp.ndarray):
+        """Clock-offset-robust RX (SURVEY.md:133/:399 "fractional CFO from
+        ∠P" + correction loop): chirp sync, then SC coarse δ̂ → warped-DFT
+        demod → pilot-slope residual → final warped demod. Decodes GF3
+        frames at TX/RX sampling-clock offsets far beyond the plain
+        receiver's ±≈500 ppm (consumer soundcards drift 50–200 ppm; this
+        path is engineered to ±~1000 ppm, where accumulated window drift
+        approaches the CP timing budget). One jit program; assumes one
+        shared clock pair across batch rows."""
+        from ..ops.sync import rx_spectrum, sync_nfft
+
+        T = rx.shape[-1]
+        nfft = sync_nfft(T, len(self.chirp))
+        R = rx_spectrum(rx, nfft)
+        start, metric = find_frame_start(self.cfg, rx, self.chirp, R=R, nfft=nfft)
+        return self._demod_synced(rx, start, metric, R=R, nfft=nfft,
+                                  sfo_correct=True)
 
     def demodulate_sc(self, rx: jnp.ndarray):
         """RX stack synced by the Schmidl–Cox plateau instead of the chirp —
@@ -375,18 +409,9 @@ class Modem:
         (BASELINE.json:5: sync by BOTH methods). rx: (..., T)."""
         from ..ops.sync import find_frame_start_sc
 
-        start, metric = find_frame_start_sc(self.cfg, rx)
-        llr, (H, nv, slope, cpe, evm) = self._demod_at(rx, start)
-        bits = self._bits_from_llr(llr)
-        diag = DecodeDiag(
-            sync_start=start.astype(jnp.int32),
-            sync_metric=jnp.full(rx.shape[:-1], jnp.nan, jnp.float32),
-            sc_metric=metric.astype(jnp.float32),
-            H=jnp.stack([H.real, H.imag], axis=-1).astype(jnp.float32),
-            noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
-            mean_abs_llr=jnp.mean(jnp.abs(llr), axis=-1),
-        )
-        return bits, diag
+        start, sc_peak = find_frame_start_sc(self.cfg, rx)
+        bits, diag = self._demod_synced(rx, start, jnp.float32(jnp.nan))
+        return bits, diag._replace(sc_metric=sc_peak.astype(jnp.float32))
 
     @staticmethod
     def _host_diag(diag: DecodeDiag) -> DecodeDiag:
@@ -441,11 +466,22 @@ class Modem:
                                 bits=bits, diag=diag)
 
     def decode(self, rx: np.ndarray, start: Optional[int] = None,
-               sync: str = "chirp") -> DecodeResult:
+               sync: str = "chirp", sfo: str = "auto") -> DecodeResult:
         """waveform → DecodeResult. `start` overrides sync (loopback);
-        sync='sc' uses Schmidl–Cox timing instead of the chirp."""
+        sync='sc' uses Schmidl–Cox timing instead of the chirp.
+
+        sfo: 'off' | 'auto' | 'on' — the clock-offset correction loop
+        (`demodulate_sfo`). 'auto' (default) retries through it when the
+        plain decode fails CRC or reports |clock_ppm| beyond the plain
+        receiver's reliable range (real soundcard pairs drift 50–200 ppm)."""
+        from ..ops.sfo import SLOPE_PPM_RANGE
+
         rx = jnp.asarray(np.asarray(rx, dtype=np.float32))
-        if start is not None:
+        if sfo == "on" and start is None and sync == "chirp":
+            if not hasattr(self, "_decode_sfo_jit"):
+                self._decode_sfo_jit = jax.jit(self.demodulate_sfo)
+            bits, diag = self._decode_sfo_jit(rx)
+        elif start is not None:
             bits, diag = self._decode_at_jit(rx, jnp.int32(start))
         elif sync == "sc":
             if not hasattr(self, "_decode_sc_jit"):
@@ -455,7 +491,15 @@ class Modem:
             bits, diag = self._decode_jit(rx)
         else:
             raise ValueError(f"unknown sync method {sync!r}; use 'chirp' or 'sc'")
-        return self._result(np.asarray(bits), self._host_diag(jax.device_get(diag)))
+        res = self._result(np.asarray(bits), self._host_diag(jax.device_get(diag)))
+        if (sfo == "auto" and start is None and sync == "chirp"
+                and self.cfg.use_schmidl_cox
+                and (not res.crc_ok
+                     or abs(float(np.max(np.abs(res.diag.clock_ppm)))) > SLOPE_PPM_RANGE)):
+            retry = self.decode(rx, sfo="on")
+            if retry.crc_ok or not res.crc_ok:
+                return retry
+        return res
 
     def decode_batch(self, rx: np.ndarray) -> list[DecodeResult]:
         """(B, T) recordings → list of DecodeResult (one jit call)."""

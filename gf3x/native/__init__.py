@@ -33,7 +33,7 @@ def _lib():
     lib.gf3x_ldpc_encode.restype = None
     lib.gf3x_ldpc_decode.argtypes = [
         i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, u8p]
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int, u8p]
     lib.gf3x_ldpc_decode.restype = ctypes.c_int
     return lib
 
@@ -77,12 +77,14 @@ class NativeLdpc:
         _lib().gf3x_ldpc_encode(self._P, self.m, self.k, u, n_cw, out)
         return out
 
-    def decode(self, llr: np.ndarray, iters: int = 25) -> tuple[np.ndarray, int]:
+    def decode(self, llr: np.ndarray, iters: int = 25,
+               early_exit: bool = True) -> tuple[np.ndarray, int]:
         """(n_cw, n) float LLRs (positive ⇒ bit 0) → (info bits, n_valid)."""
         llr = np.ascontiguousarray(np.atleast_2d(llr), dtype=np.float32)
         n_cw = llr.shape[0]
         out = np.empty((n_cw, self.n), dtype=np.uint8)
         ok = _lib().gf3x_ldpc_decode(
             self._chk, self._var, len(self._chk), self.m, self.n,
-            llr, n_cw, iters, ctypes.c_float(self.alpha), out)
+            llr, n_cw, iters, ctypes.c_float(self.alpha),
+            int(early_exit), out)
         return out[:, : self.k], int(ok)

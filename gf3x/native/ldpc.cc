@@ -54,11 +54,14 @@ void gf3x_ldpc_encode(const uint8_t* P, int m, int k,
 // edges: n_edges pairs (check_idx, var_idx), grouped arbitrarily; llr is
 // (n_cw × n) with positive => bit 0. out_bits is (n_cw × n) hard decisions
 // of the final totals (caller slices the systematic k).
+// early_exit != 0 stops a codeword at the first pass whose totals already
+// satisfy every check (the shared freeze rule — bit-identical to the
+// NumPy/JAX/Pallas twins; `iters` becomes the maximum).
 // Returns the number of codewords whose syndrome is zero on exit.
 int gf3x_ldpc_decode(const int32_t* edge_chk, const int32_t* edge_var,
                      int n_edges, int n_chk, int n_var,
                      const float* llr, int n_cw, int iters,
-                     float alpha, uint8_t* out_bits) {
+                     float alpha, int early_exit, uint8_t* out_bits) {
   // per-check edge grouping (CSR)
   std::vector<int> deg(n_chk, 0);
   for (int e = 0; e < n_edges; ++e) deg[edge_chk[e]]++;
@@ -78,6 +81,16 @@ int gf3x_ldpc_decode(const int32_t* edge_chk, const int32_t* edge_var,
       // variable totals
       for (int v = 0; v < n_var; ++v) total[v] = lam[v];
       for (int e = 0; e < n_edges; ++e) total[edge_var[e]] += c2v[e];
+      if (early_exit) {
+        int violated = 0;
+        for (int c = 0; c < n_chk && !violated; ++c) {
+          int par = 0;
+          for (int t = off[c]; t < off[c + 1]; ++t)
+            par ^= (total[edge_var[order[t]]] < 0.0f);
+          violated = par;
+        }
+        if (!violated) break;
+      }
       // check update (flooding: v2c from the totals of the previous pass)
       for (int c = 0; c < n_chk; ++c) {
         const int lo = off[c], hi = off[c + 1];

@@ -10,6 +10,7 @@ a hand-fused Pallas variant lives in `gf3x.ops.pallas.equalize`.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import ModemConfig, layout
@@ -17,14 +18,25 @@ from ..config import ModemConfig, layout
 __all__ = ["estimate_channel", "equalize", "pilot_phase_correct"]
 
 
-def estimate_channel(cfg: ModemConfig, known_rx: jnp.ndarray):
+def estimate_channel(cfg: ModemConfig, known_rx: jnp.ndarray, delta=None):
     """LS: Ĥ[k] = mean_r(Y_r[k]/X_r[k]); scalar residual noise variance.
 
     known_rx: (..., K, n_used) complex64 → (Ĥ (..., n_used), noise_var (...,)).
     SURVEY.md Appendix "LS channel estimate".
+
+    `delta` (traced scalar clock offset) derotates each known symbol's
+    SFO-induced phase ramp before averaging: symbol r drifts δ·r·symbol_len
+    samples relative to symbol 0, i.e. a per-bin ramp 2πk·δ·r·L/N that at
+    |δ| ≳ 500 ppm spreads top-bin phases over >π and collapses |Ĥ| —
+    without this the clock-offset correction loop still loses the frame.
     """
     lay = layout(cfg)
     X = jnp.asarray(lay.known_syms)                      # (K, n_used) complex64
+    if delta is not None:
+        k = jnp.arange(cfg.bin_lo, cfg.bin_hi + 1, dtype=jnp.float32)[None, :]
+        r = jnp.arange(cfg.n_known_symbols, dtype=jnp.float32)[:, None]
+        ang = jnp.float32(-2.0 * np.pi / cfg.n_fft) * k * (delta * cfg.symbol_len) * r
+        known_rx = known_rx * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
     ratio = known_rx / X
     H = jnp.mean(ratio, axis=-2)
     resid = known_rx - H[..., None, :] * X

@@ -68,18 +68,42 @@ def ofdm_modulate(cfg: ModemConfig, sym_bins: jnp.ndarray) -> jnp.ndarray:
     return with_cp.reshape(*lead, S * cfg.symbol_len)
 
 
-def ofdm_demodulate(cfg: ModemConfig, samples: jnp.ndarray) -> jnp.ndarray:
+def ofdm_demodulate(cfg: ModemConfig, samples: jnp.ndarray,
+                    delta: jnp.ndarray | None = None) -> jnp.ndarray:
     """(..., S·(N+CP)) float32 samples → (..., S, n_used) complex64 bins.
 
     The reference's per-symbol FFT loop (hot loop #3, SURVEY.md §4.2) as one
     batched rfft with the CP stripped by reshape+slice; used-bin extraction
     is a contiguous slice.
+
+    `delta` (traced SCALAR, fractional clock offset) enables the
+    SFO-corrected demod: with a TX/RX clock-rate offset δ the received
+    waveform is the transmitted one resampled by (1+δ), so bin k's tone sits
+    at frequency k·(1+δ) on the RX sampling grid. Instead of resampling
+    (a per-element gather — catastrophic on TPU), the used-band DFT matrix
+    itself is warped to those frequencies: the SAME matmul demod, with the
+    cos/sin tables built on device from δ. Exact to f32 phase rounding; the
+    residual per-symbol phase ramps (window drift) are absorbed by the
+    standard pilot tracking downstream.
     """
     from ..utils.device import computation_on_tpu
 
     *lead, T = samples.shape
     S = T // cfg.symbol_len
     sym = samples.reshape(*lead, S, cfg.symbol_len)[..., cfg.cp:]
+    if delta is not None:
+        n = jnp.arange(cfg.n_fft, dtype=jnp.float32)[:, None]
+        k = jnp.arange(cfg.bin_lo, cfg.bin_hi + 1, dtype=jnp.float32)[None, :]
+        th = jnp.float32(2.0 * np.pi / cfg.n_fft) * n * k * (1.0 + delta)
+        C, Sm = jnp.cos(th), jnp.sin(th)
+        inv = jnp.float32(1.0 / cfg.ofdm_scale)
+        hi = jax.lax.Precision.HIGHEST
+        xr = sym.astype(jnp.float32)
+        re = jnp.matmul(xr, C, precision=hi,
+                        preferred_element_type=jnp.float32) * inv
+        im = -jnp.matmul(xr, Sm, precision=hi,
+                         preferred_element_type=jnp.float32) * inv
+        return jax.lax.complex(re, im)
     if computation_on_tpu():
         # used-band DFT as two MXU matmuls: Y_k = Σ_n x[n](cos θ − i·sin θ)
         C, Sm = _dft_tables(cfg)

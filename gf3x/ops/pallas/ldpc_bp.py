@@ -12,6 +12,16 @@ and every reduction is elementwise over (z, 128) tiles. The base matrix is
 static: the edge structure is Python-unrolled into the kernel body (~76
 edges), exactly mirroring the XLA twin's schedule so decoded bits are
 bit-identical.
+
+Early termination (`early_exit=True`, the default): before each message
+update the kernel computes every lane's syndrome from the current totals;
+lanes whose checks are all satisfied freeze (their messages stop updating,
+so their decode equals the first zero-syndrome pass regardless of batch
+composition — the same rule as the NumPy/XLA/C++ twins), and a
+`lax.while_loop` exits once the whole 128-lane block is frozen. The
+syndrome's rolled totals double as the v2c terms via the exact identity
+roll(tot − roll(c2v, s), −s) = roll(tot, −s) − c2v, so the per-iteration
+roll count matches the fixed-iteration kernel.
 """
 
 from __future__ import annotations
@@ -34,13 +44,17 @@ _BIG = np.float32(1e30)
 
 
 def _kernel(lam_ref, out_ref, c2v_ref, tot_ref, *, z: int, iters: int,
-            edges, rows, by_col):
+            edges, rows, by_col, early_exit: bool):
     E = len(edges)
 
     def contrib(e):
         # check order → variable order: msg_var[v] = msg_chk[(v − s) mod z]
         _, _, s = edges[e]
         return pltpu.roll(c2v_ref[e], s, 0)
+
+    def negroll(x, s):
+        # variable order → check order: y[c] = x[(c + s) mod z]
+        return pltpu.roll(x, z - s if s else 0, 0)
 
     def compute_totals():
         for j in range(N_BLOCK_COLS):
@@ -49,14 +63,22 @@ def _kernel(lam_ref, out_ref, c2v_ref, tot_ref, *, z: int, iters: int,
                 acc = acc + contrib(e)
             tot_ref[j] = acc
 
-    def body(_, carry):
-        compute_totals()
+    def _first_at(mag, d, m1):
+        # True where edge d is the FIRST row edge attaining the minimum —
+        # mirrors argmin semantics of the XLA twin (ties broken by index).
+        earlier = jnp.zeros_like(m1, dtype=jnp.bool_)
+        for dd in range(d):
+            earlier = earlier | (mag[dd] == m1)
+        return jnp.logical_not(earlier)
+
+    def update_rows(frozen):
+        """One flooding check-node pass over all rows; lanes where `frozen`
+        (1, LANES bool, or None) keep their previous messages."""
         for i in range(N_BLOCK_ROWS):
             row = rows[i]
-            v2c = [
-                pltpu.roll(tot_ref[j] - contrib(e), z - s if s else 0, 0)
-                for (e, j, s) in row
-            ]
+            # v2c in check order: roll(tot, −s) − c2v  (exact roll identity;
+            # c2v_ref entries of this row are read before any write below)
+            v2c = [negroll(tot_ref[j], s) - c2v_ref[e] for (e, j, s) in row]
             mag = [jnp.abs(v) for v in v2c]
             sgn = [jnp.where(v < 0, -1.0, 1.0) for v in v2c]
             prod = sgn[0]
@@ -75,27 +97,56 @@ def _kernel(lam_ref, out_ref, c2v_ref, tot_ref, *, z: int, iters: int,
             for d, (e, j, s) in enumerate(row):
                 exclude_min = (mag[d] == m1) & _first_at(mag, d, m1)
                 mins = jnp.where(exclude_min, m2, m1)
-                c2v_ref[e] = _ALPHA * (prod * sgn[d]) * mins
-        return carry
+                new = _ALPHA * (prod * sgn[d]) * mins
+                if frozen is None:
+                    c2v_ref[e] = new
+                else:
+                    c2v_ref[e] = jnp.where(frozen, c2v_ref[e], new)
 
-    def _first_at(mag, d, m1):
-        # True where edge d is the FIRST row edge attaining the minimum —
-        # mirrors argmin semantics of the XLA twin (ties broken by index).
-        earlier = jnp.zeros_like(m1, dtype=jnp.bool_)
-        for dd in range(d):
-            earlier = earlier | (mag[dd] == m1)
-        return jnp.logical_not(earlier)
+    def unsat_lanes():
+        """(1, LANES) bool: any parity check of the current totals' hard
+        decisions violated, per lane."""
+        unsat = None
+        for i in range(N_BLOCK_ROWS):
+            par = None
+            for (e, j, s) in rows[i]:
+                h = negroll(tot_ref[j], s) < 0.0
+                par = h if par is None else (par != h)
+            row_unsat = jnp.any(par, axis=0, keepdims=True)   # (1, LANES)
+            unsat = row_unsat if unsat is None else (unsat | row_unsat)
+        return unsat
 
     for e in range(E):
         c2v_ref[e] = jnp.zeros_like(c2v_ref[e])
-    jax.lax.fori_loop(0, iters, body, 0)
+
+    if early_exit:
+        def cond(state):
+            it, done = state
+            return (it < iters) & jnp.logical_not(done)
+
+        def body(state):
+            it, _ = state
+            compute_totals()
+            frozen = jnp.logical_not(unsat_lanes())
+            update_rows(frozen)
+            return it + 1, jnp.all(frozen)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+    else:
+        def body(_, carry):
+            compute_totals()
+            update_rows(None)
+            return carry
+
+        jax.lax.fori_loop(0, iters, body, 0)
     compute_totals()
     for j in range(N_BLOCK_COLS):
         out_ref[j] = tot_ref[j]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def minsum_totals_tpu(lam_t: jnp.ndarray, z: int, iters: int,
+                      early_exit: bool = True,
                       interpret: bool = False) -> jnp.ndarray:
     """lam_t: (24, z, B) f32 LLRs (B % 128 == 0) → final totals (24, z, B).
 
@@ -118,6 +169,7 @@ def minsum_totals_tpu(lam_t: jnp.ndarray, z: int, iters: int,
         edges=tuple(edges),
         rows=tuple(tuple(r) for r in rows),
         by_col=tuple(tuple(c) for c in by_col),
+        early_exit=early_exit,
     )
     grid = (B // LANES,)
     return pl.pallas_call(

@@ -24,6 +24,7 @@ __all__ = [
     "find_frame_start",
     "schmidl_cox_metric",
     "sc_metric_at",
+    "sc_metric_window",
     "sync_nfft",
     "rx_spectrum",
     "extract_windows_spec",
@@ -280,6 +281,15 @@ def sc_metric_at(cfg: ModemConfig, rx: jnp.ndarray, d: jnp.ndarray,
         win = jax.vmap(
             lambda r, s: jax.lax.dynamic_slice(r, (s,), (cfg.n_fft,))
         )(flat, df).reshape(*rx.shape[:-1], cfg.n_fft)
+    return sc_metric_window(cfg, win)
+
+
+def sc_metric_window(cfg: ModemConfig, win: jnp.ndarray) -> jnp.ndarray:
+    """SC metric of one already-cut n_fft window: win (..., n_fft) → (...,).
+
+    M = P²/R² over the window's two halves. ≈1 when the window holds the
+    repeated-half SC symbol."""
+    half = cfg.n_fft // 2
     first, second = win[..., :half], win[..., half:]
     P = jnp.sum(first * second, axis=-1)
     Rw = jnp.sum(second * second, axis=-1)

@@ -67,3 +67,47 @@ def test_batched_leading_dims():
     bits = np.asarray(code.decode_jax(jnp.asarray(llr), 5))
     assert bits.shape == (2, 3, code.k)
     assert np.array_equal(bits, u)
+
+
+def test_early_exit_matches_across_backends_and_batchings():
+    """Early termination must be (a) faster — fewer message passes than the
+    budget, (b) batch-independent — the per-lane freeze rule makes each
+    codeword's decode equal to decoding it alone, (c) bit-identical across
+    the NumPy / XLA / Pallas / C++ backends."""
+    from gf3x.fec.codes import N_BLOCK_COLS
+    from gf3x.ops.pallas.ldpc_bp import LANES, minsum_totals_tpu
+
+    code = LdpcCode(32)
+    rng = np.random.default_rng(11)
+    B = LANES
+    u = rng.integers(0, 2, size=(B, code.k), dtype=np.uint8)
+    c = code.encode(u)
+    # mix of easy and hard lanes so freeze times differ wildly
+    sigma = np.where(np.arange(B)[:, None] % 2 == 0, 0.4, 0.72)
+    y = (1.0 - 2.0 * c) + rng.normal(0, 1.0, c.shape) * sigma
+    llr = (2 * y / sigma**2).astype(np.float32)
+
+    nb, it_run = code.decode(llr.astype(np.float64), iters=30)
+    assert it_run < 30                       # actually terminated early
+    assert np.array_equal(nb, u)
+
+    jb = np.asarray(code.decode_jax(jnp.asarray(llr), 30, use_pallas=False))
+    assert np.array_equal(jb, nb)
+
+    lam_t = jnp.asarray(llr).reshape(B, N_BLOCK_COLS, code.z).transpose(1, 2, 0)
+    tot = minsum_totals_tpu(lam_t, code.z, 30, True, True)
+    total = np.asarray(tot).transpose(2, 0, 1).reshape(B, code.n)
+    pb = (total < 0).astype(np.uint8)[:, : code.k]
+    assert np.array_equal(pb, nb)
+
+    # batch-independence: each codeword alone decodes to the same bits
+    for i in (0, 1, 63):
+        solo, _ = code.decode(llr[i:i + 1].astype(np.float64), iters=30)
+        assert np.array_equal(solo[0], nb[i])
+
+    # early exit and the fixed-iteration schedule agree here (converged
+    # lanes hold a valid codeword; unconverged lanes run the full budget)
+    nb_fixed, it_fixed = code.decode(llr.astype(np.float64), iters=30,
+                                     early_exit=False)
+    assert it_fixed == 30
+    assert np.array_equal(nb_fixed, nb)

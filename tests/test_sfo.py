@@ -1,0 +1,110 @@
+"""Sampling-clock offset (SFO) robustness — SURVEY.md:133/:399 "fractional
+CFO from ∠P" adapted to the carrierless acoustic channel, plus the
+correction loop (VERDICT r1 items 1 & 3: ±200 ppm must decode plainly;
+the corrected path is engineered to ±~1000 ppm)."""
+
+import numpy as np
+import pytest
+
+from gf3x import GF3_STANDARD, GoldenModem, Modem
+from gf3x.channel import awgn, delay_gain, resample_sfo
+
+CFG = GF3_STANDARD
+
+
+@pytest.fixture(scope="module")
+def pair():
+    return GoldenModem(CFG), Modem(CFG)
+
+
+def _rx(wav, ppm, rng, snr_db=18.0, delay=3000):
+    x = resample_sfo(wav, ppm)
+    return awgn(delay_gain(x, delay, 0.6, total_len=len(x) + 8000), snr_db, rng)
+
+
+@pytest.mark.parametrize("ppm", [200.0, -200.0])
+def test_plain_decode_at_200ppm(pair, ppm):
+    """±200 ppm (the consumer-soundcard regime) decodes WITHOUT the
+    correction loop, on both twins, and the diag estimate is accurate."""
+    g, m = pair
+    rng = np.random.default_rng(int(abs(ppm)))
+    payload = bytes(rng.integers(0, 256, 400, dtype=np.uint8))
+    rx = _rx(g.encode(payload, "s.bin"), ppm, rng)
+    rg = g.decode(rx, sfo="off")
+    rj = m.decode(rx.astype(np.float32), sfo="off")
+    assert rg.crc_ok and rg.payload == payload
+    assert rj.crc_ok and rj.payload == payload
+    assert abs(rg.diag["clock_ppm"] - ppm) < 20
+    assert abs(float(np.asarray(rj.diag.clock_ppm)) - ppm) < 20
+
+
+@pytest.mark.parametrize("ppm", [800.0, -1000.0])
+def test_corrected_decode_at_large_offsets(pair, ppm):
+    """The correction loop (SC coarse δ̂ → warped-DFT demod → slope
+    residual) recovers frames far beyond the plain receiver's range."""
+    g, m = pair
+    rng = np.random.default_rng(int(abs(ppm)) + 7)
+    payload = bytes(rng.integers(0, 256, 400, dtype=np.uint8))
+    wav = g.encode(payload, "s.bin")
+    rx = _rx(wav, ppm, rng)
+    # plain decode fails out here — the loop is load-bearing
+    assert not g.decode(rx, sfo="off").crc_ok
+    rg = g.decode(rx, sfo="on")
+    rj = m.decode(rx.astype(np.float32), sfo="on")
+    assert rg.crc_ok and rg.payload == payload
+    assert rj.crc_ok and rj.payload == payload
+    assert abs(rg.diag["clock_ppm"] - ppm) < 0.05 * abs(ppm)
+    assert abs(float(np.asarray(rj.diag.clock_ppm)) - ppm) < 0.05 * abs(ppm)
+
+
+def test_auto_mode_retries_through_correction(pair):
+    """sfo='auto' (the decode default) transparently recovers a frame the
+    plain pass loses."""
+    g, m = pair
+    rng = np.random.default_rng(99)
+    payload = bytes(rng.integers(0, 256, 300, dtype=np.uint8))
+    rx = _rx(g.encode(payload, "a.bin"), 900.0, rng)
+    rg = g.decode(rx)
+    rj = m.decode(rx.astype(np.float32))
+    assert rg.crc_ok and rg.payload == payload
+    assert rj.crc_ok and rj.payload == payload
+
+
+def test_sc_coarse_estimator_accuracy():
+    """gf3x.ops.sfo.sc_clock_offset is a COARSE stage: its contract is to
+    land the seed within the slope estimator's ±~350 ppm capture range, not
+    to be exact — observed worst case ~±35% of δ plus a ~±150 ppm noise
+    floor under ±40 samples of window misalignment (guarded halves)."""
+    import jax.numpy as jnp
+
+    from gf3x.ops.sfo import sc_clock_offset
+
+    g = GoldenModem(CFG)
+    wav = g.encode(b"estimator probe", "p.bin")
+    rng = np.random.default_rng(3)
+    for ppm in (500.0, 1500.0, -1000.0):
+        x = awgn(resample_sfo(wav, ppm), 20.0, rng)
+        o = int(round((CFG.chirp_len + CFG.cp) / (1 + ppm * 1e-6)))
+        for mis in (0, -25, 40):
+            win = x[o + mis: o + mis + CFG.n_fft].astype(np.float32)
+            est = float(np.asarray(sc_clock_offset(CFG, jnp.asarray(win)))) * 1e6
+            assert abs(est - ppm) < 0.35 * abs(ppm) + 150, (ppm, mis, est)
+            # golden twin agrees with the jax estimator
+            est_g = g.sc_clock_offset(x[o + mis: o + mis + CFG.n_fft]) * 1e6
+            assert abs(est_g - est) < 60, (ppm, mis, est, est_g)
+
+
+def test_warped_demod_is_identity_at_zero_delta():
+    """δ=0 warped DFT equals the table-driven demod to float32 rounding."""
+    import jax.numpy as jnp
+
+    from gf3x.ops.ofdm import ofdm_demodulate
+
+    m = Modem(CFG)
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, CFG.payload_bits_per_frame, dtype=np.uint8)
+    wav = np.asarray(m.modulate_frames(jnp.asarray(bits)))
+    body = wav[CFG.preamble_len:]
+    y0 = np.asarray(ofdm_demodulate(CFG, jnp.asarray(body)))
+    y1 = np.asarray(ofdm_demodulate(CFG, jnp.asarray(body), jnp.float32(0.0)))
+    assert np.max(np.abs(y0 - y1)) < 1e-3 * np.max(np.abs(y0))
