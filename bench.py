@@ -63,25 +63,30 @@ def golden_symbols_per_sec(cfg, rx: np.ndarray, n_frames: int = 10) -> float:
     return cfg.n_data_symbols / float(np.median(times))
 
 
-def matmul_flops_per_frame(cfg, T: int) -> float:
-    """Analytic MXU-stage FLOPs of one frame's full-path decode: the two
-    four-step inverse FFTs over the sync grid (matched filter + shift-theorem
-    window cut) and the used-band DFT demod matmuls. (LDPC BP and the fused
-    EQ/demap kernel are VPU elementwise work and excluded — this is an MXU
-    utilization figure, stated as such.)"""
+def matmul_flops_per_frame(cfg, search_len: int) -> float:
+    """Analytic MXU-stage FLOPs of one frame's full-path decode: the
+    decimated matched-filter inverse FFT (four-step matmul form), the
+    used-band DFT demod matmuls, and the Ĥ denoising projection. (LDPC BP,
+    the fused EQ/demap kernel, and the block-gather cut are VPU/copy work
+    and excluded — this is an MXU utilization figure, stated as such. The
+    receiver is deliberately NOT matmul-heavy anymore: this round replaced
+    two full-recording-grid FFT extractions with a block gather, trading
+    MXU FLOPs for wall clock.)"""
     from gf3x.ops.mmfft import _split, good_mm_size
     from gf3x.ops.sync import sync_nfft
 
-    nfft = sync_nfft(T, 0)
+    dec = 2
+    seg = (search_len + cfg.chirp_len) // dec
+    nfft = sync_nfft(seg, cfg.chirp_len // dec)
     flops = 0.0
     if good_mm_size(nfft):
         h = nfft // 2
         n1, n2 = _split(h)
         # complex matmul = 4 real matmuls of 2·M·K·N flops each
-        per_irfft = 8 * n2 * n2 * n1 + 8 * n2 * n1 * n1
-        flops += 2 * per_irfft                       # MF + window extraction
+        flops += 8 * n2 * n2 * n1 + 8 * n2 * n1 * n1     # matched filter
     n_sym = cfg.n_known_symbols + cfg.n_data_symbols
-    flops += 2 * (2 * n_sym * cfg.n_fft * cfg.n_used)   # cos+sin DFT matmuls
+    flops += 2 * (2 * n_sym * cfg.n_fft * cfg.n_used)    # cos+sin DFT matmuls
+    flops += 8 * cfg.n_used * cfg.n_used                 # Ĥ tap projection
     return flops
 
 
@@ -91,7 +96,10 @@ def main():
     from gf3x import GF3_STANDARD, Modem
 
     cfg = GF3_STANDARD
-    modem = Modem(cfg)
+    # the streaming receiver knows each arrival lands within the current
+    # chunk: bound the sync search to the delay margin (static), which
+    # shrinks the sync correlation FFTs to the recording prefix
+    modem = Modem(cfg, max_delay=MARGIN + cfg.cp)
     rng = np.random.default_rng(0)
     rx, payload, delays = build_batch(modem, B, MARGIN, rng)
 
@@ -130,7 +138,7 @@ def main():
     tpu_sps = sym_per_step / dt
     audio_sec_per_step = B * rx.shape[-1] / cfg.fs
     rtf = audio_sec_per_step / dt
-    mfu = matmul_flops_per_frame(cfg, rx.shape[-1]) * B / dt / 197e12  # v5e bf16 peak
+    mfu = matmul_flops_per_frame(cfg, MARGIN + cfg.cp) * B / dt / 197e12  # v5e bf16 peak
 
     # secondary: demod-only throughput on pre-cut frame windows (the
     # streaming receiver's steady state — sync runs once per arrival, the

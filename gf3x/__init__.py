@@ -27,7 +27,8 @@ if _os.environ.get("GF3X_COMPILE_CACHE"):
     except Exception:
         pass
 
-from .config import ModemConfig, preset, GF3_STANDARD, CONFIG1_LOOPBACK, layout
+from .config import (ModemConfig, preset, GF3_STANDARD, GF3_FAST,
+                     GF3_TURBO, GF3_ROBUST, CONFIG1_LOOPBACK, layout)
 from .models import Modem, DecodeDiag, DecodeResult
 from .golden import GoldenModem
 
@@ -38,6 +39,9 @@ __all__ = [
     "preset",
     "layout",
     "GF3_STANDARD",
+    "GF3_FAST",
+    "GF3_TURBO",
+    "GF3_ROBUST",
     "CONFIG1_LOOPBACK",
     "Modem",
     "DecodeDiag",

@@ -78,7 +78,7 @@ def cmd_receive(args) -> int:
 
     modem = _modem(args)
     rx, _ = read_wav(args.wav, expect_fs=modem.cfg.fs if args.strict_fs else None)
-    res = decode_stream(modem, rx, threshold=args.threshold)
+    res = decode_stream(modem, rx, threshold=args.threshold, sfo=args.sfo)
 
     report = {
         "frames_detected": int(res.starts.size),
@@ -213,6 +213,9 @@ def main(argv=None) -> int:
     r.add_argument("wav")
     r.add_argument("-o", "--output", help="output directory")
     r.add_argument("--threshold", type=float, default=0.4)
+    r.add_argument("--sfo", choices=["off", "auto", "on"], default="auto",
+                   help="sampling-clock-offset correction loop (auto: retry "
+                        "through it when a frame fails or drifts)")
     r.add_argument("--strict-fs", action="store_true")
     r.add_argument("--json", action="store_true")
     r.add_argument("--constellation", help="save equalized-constellation PNG")

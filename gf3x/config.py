@@ -27,6 +27,7 @@ __all__ = [
     "Layout",
     "GF3_STANDARD",
     "GF3_FAST",
+    "GF3_TURBO",
     "GF3_ROBUST",
     "CONFIG1_LOOPBACK",
     "preset",
@@ -37,7 +38,8 @@ __all__ = [
 #: manifest "format" field (tools/make_fixtures.py, tests/fixtures/) and the
 #: version SPEC.md documents — bump it whenever an encode-side change breaks
 #: decode compatibility with previously recorded audio.
-WIRE_FORMAT = 2
+#: v3: channel-bit block interleaver (config `interleave`).
+WIRE_FORMAT = 3
 
 
 @dataclass(frozen=True)
@@ -85,15 +87,41 @@ class ModemConfig:
     # --- waveform scaling
     ofdm_amplitude: float = 0.18   # target RMS of each OFDM symbol's samples
 
+    # --- channel-estimate denoising (SURVEY.md:132 "optional fine timing
+    #     from estimated impulse response" family): project the LS Ĥ onto
+    #     the subspace of ≤ est_taps time-domain taps (noise reduction
+    #     ≈ 10·log10(n_used/taps) dB; measured ≥1 dB waterfall shift on the
+    #     room-IR BER sweep). −1 = auto (cp//2); 0 (default) disables.
+    #     Must be ≤ cp. The truncation biases Ĥ on rooms whose impulse
+    #     response exceeds the taps — a clear win for the LDPC presets
+    #     (they live at low SNR where estimator noise dominates), a loss
+    #     for uncoded high-SNR decodes in long reverb, so the coded presets
+    #     enable it and the base/loopback config leaves it off.
+    chanest_taps: int = 0
+
     # --- FEC (SURVEY.md §3 "FEC codec"): 'none' or 'ldpc'
     fec: str = "none"
     ldpc_z: int = 64               # QC-LDPC lifting size (802.16e-style base matrix)
     ldpc_iters: int = 25           # min-sum BP iterations (fixed for static shapes)
 
+    # --- channel-bit block interleaver (WIRE_FORMAT v3): scrambled coded
+    #     bits are written into an (R × D) rectangle row-major and read
+    #     column-major (R = bits per OFDM symbol, D = data symbols), so
+    #     consecutive coded bits land on successive OFDM SYMBOLS at the
+    #     same bin — a deep frequency notch then hits every codeword as
+    #     short, well-separated bursts instead of wiping out one contiguous
+    #     codeword region. Pure reshape/transpose (no TPU gathers).
+    interleave: bool = True
+
     # --- PRBS seed for known symbols / pilots (class-standard constant)
     prbs_seed: int = 0x1D
 
     # ---------------------------------------------------------------- derived
+    @property
+    def est_taps(self) -> int:
+        """Resolved channel-estimate denoising tap count (−1 → cp//2)."""
+        return self.cp // 2 if self.chanest_taps < 0 else self.chanest_taps
+
     @property
     def n_bins(self) -> int:
         """Number of rfft bins (n_fft//2 + 1)."""
@@ -197,6 +225,7 @@ class ModemConfig:
         assert 0 < self.cp < self.n_fft
         assert 1 <= self.bin_lo <= self.bin_hi <= self.n_fft // 2 - 1
         assert self.bits_per_symbol in (2, 4, 6)
+        assert self.est_taps <= self.cp, "chanest_taps must be ≤ cp (or −1 = auto)"
         assert self.fec in ("none", "ldpc")
         if self.fec == "ldpc":
             assert self.n_codewords >= 1, (
@@ -315,11 +344,17 @@ GF3_STANDARD = ModemConfig(
     fec="ldpc",
     ldpc_z=96,
     n_data_symbols=20,
+    chanest_taps=-1,               # Ĥ denoising: ~3 dB estimator-noise cut
 ).validate()
 
 # Higher-rate variant: 16-QAM doubles the bit rate at ~6 dB more required
 # SNR; same LDPC code, 8 codewords per frame (1152 B / 0.98 s ≈ 9.4 kbit/s).
 GF3_FAST = GF3_STANDARD.replace(bits_per_symbol=4)
+
+# Maximum-rate variant: coded 64-QAM (first-class per VERDICT r1 item 7) —
+# 12 codewords / 1728 B per frame ≈ 14.2 kbit/s, needs ~6 dB more SNR than
+# gf3-fast (clean rooms, good speakers).
+GF3_TURBO = GF3_STANDARD.replace(bits_per_symbol=6)
 
 # Robustness-first variant: denser pilots (spacing 4), longer known preamble,
 # fewer data symbols — for harsh rooms and cheap speakers.
@@ -331,6 +366,7 @@ GF3_ROBUST = ModemConfig(
     n_data_symbols=12,
     bin_lo=24,
     bin_hi=303,
+    chanest_taps=-1,
 ).validate()
 
 _PRESETS = {
@@ -339,6 +375,7 @@ _PRESETS = {
     "gf3": GF3_STANDARD,
     "gf3-standard": GF3_STANDARD,
     "gf3-fast": GF3_FAST,
+    "gf3-turbo": GF3_TURBO,
     "gf3-robust": GF3_ROBUST,
 }
 

@@ -256,15 +256,20 @@ class GoldenModem:
                 -2j * np.pi * k * (delta * c.symbol_len) * r / c.n_fft)
         ratio = known_rx / lay.known_syms
         H = ratio.mean(axis=0)
+        # noise_var from the RAW residual (before denoising) — conservative
         resid = known_rx - H[None, :] * lay.known_syms
         noise_var = float(np.mean(np.abs(resid) ** 2))
+        if self.cfg.est_taps:
+            from ..ops.chanest import denoise_projection
+            H = denoise_projection(self.cfg).astype(np.complex128) @ H
         return H, noise_var
 
     def equalize(self, data_rx: np.ndarray, H: np.ndarray) -> np.ndarray:
         """One-tap FD EQ X̂ = Y/Ĥ (SURVEY.md Appendix)."""
         return data_rx / H[None, :]
 
-    def pilot_phase_correct(self, eq: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def pilot_phase_correct(self, eq: np.ndarray,
+                            H: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Residual phase/timing-drift correction from pilot phase slopes.
 
         Per data symbol fit ∠(X̂_pilot·p*) ≈ a·k + b (SURVEY.md Appendix
@@ -279,6 +284,10 @@ class GoldenModem:
         if c.n_pilots < 2:
             return eq, np.zeros(eq.shape[0]), np.zeros(eq.shape[0])
         z = eq[:, lay.pilot_pos] * np.conj(lay.pilot_vals)[None, :]   # (D, P)
+        if H is not None:
+            # CSI weighting (twin of gf3x.ops.chanest): notch pilots carry
+            # EQ-amplified noise and must not dominate the fit
+            z = z * (np.abs(H[lay.pilot_pos]) ** 2)[None, :]
         dk = np.diff(lay.pilot_pos.astype(np.float64))                # (P-1,)
         inc = z[:, 1:] * np.conj(z[:, :-1])                           # (D, P-1)
         a = np.angle(np.sum(inc, axis=1)) / float(np.mean(dk))        # coarse
@@ -326,7 +335,11 @@ class GoldenModem:
             coded = np.concatenate([coded, pad])
         else:
             coded = info_bits.astype(np.uint8)
-        return coded ^ self.lay.scramble
+        coded = coded ^ self.lay.scramble
+        if c.interleave:
+            from ..models.frame import interleave_bits
+            coded = np.asarray(interleave_bits(c, coded))
+        return coded
 
     # --------------------------------------------------------- public API (L6)
     def encode(self, payload: bytes, filename: str = "") -> np.ndarray:
@@ -367,12 +380,20 @@ class GoldenModem:
         Y = self.ofdm_demodulate(rx[ofdm_start: ofdm_start + need], delta)
         H, noise_var = self.estimate_channel(Y[: c.n_known_symbols], delta)
         eq = self.equalize(Y[c.n_known_symbols:], H)
-        eq, slope, cpe = self.pilot_phase_correct(eq)
+        eq, slope, cpe = self.pilot_phase_correct(eq, H)
         csi = np.abs(H) ** 2  # (n_used,)
-        nv_eff = noise_var / np.maximum(csi, 1e-12)
+        # per-symbol noise floor from CSI-weighted pilot residuals (twin of
+        # Modem._eq_body): burst-hit symbols demap as erasures
+        pil = eq[:, self.lay.pilot_pos]
+        w = csi[self.lay.pilot_pos]
+        perr = np.abs(pil - self.lay.pilot_vals[None, :]) ** 2
+        sig_d = (perr * w[None, :]).sum(axis=1) / c.n_pilots          # (D,)
+        nv_sym = np.maximum(noise_var, sig_d)
         data = eq[:, self.lay.data_pos]
-        nv = np.broadcast_to(nv_eff[self.lay.data_pos][None, :], data.shape)
-        llr3 = qam_demap_llr(data, nv, c.bits_per_symbol)   # (D, n_data_bins, bps)
+        inv_csi = 1.0 / np.maximum(csi[self.lay.data_pos], 1e-12)
+        nv = nv_sym[:, None] * inv_csi[None, :]
+        llr3 = qam_demap_llr(data, np.broadcast_to(nv, data.shape),
+                             c.bits_per_symbol)             # (D, n_data_bins, bps)
         hard = (llr3 < 0).astype(np.uint8)
         evm = float(np.mean(np.abs(data - qam_map(hard, c.bits_per_symbol)) ** 2))
         llr = llr3.reshape(-1)
@@ -445,6 +466,9 @@ class GoldenModem:
     def _finish(self, llr: np.ndarray, diag: dict) -> GoldenDecodeResult:
         """Descramble → FEC decode → header parse (the L1 tail of decode)."""
         c = self.cfg
+        if c.interleave:
+            from ..models.frame import interleave_bits
+            llr = np.asarray(interleave_bits(c, llr, inverse=True))
         llr = llr * (1.0 - 2.0 * self.lay.scramble)   # descramble channel bits
         if c.fec == "ldpc":
             used = c.n_codewords * c.ldpc_n

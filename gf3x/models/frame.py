@@ -19,7 +19,51 @@ __all__ = [
     "bits_from_llr_layout",
     "interleave_pilots",
     "split_pilots",
+    "interleave_bits",
+    "scatter_factors",
 ]
+
+
+def scatter_factors(R: int) -> tuple[int, int]:
+    """(A2, B2) with A2·B2 = R and B2 the divisor nearest √R — the
+    bin-scatter stage of the v3 interleaver. B2 = 1 (prime R) degrades
+    gracefully to the plain symbol transpose."""
+    root = R ** 0.5
+    B2 = 1
+    for d in range(2, R):
+        if R % d == 0 and abs(d - root) < abs(B2 - root):
+            B2 = d
+    return R // B2, B2
+
+
+def interleave_bits(cfg: ModemConfig, arr, inverse: bool = False):
+    """Channel-bit interleaver (WIRE_FORMAT v3, SPEC.md §5a).
+
+    arr: (..., raw_bits_per_frame) bits (TX) or LLRs (RX). Two stages of
+    pure reshape/transpose (no TPU gathers):
+
+    1. symbol spread — the (R × D) rectangle (R = bits per OFDM symbol,
+       D = data symbols) written row-major, read column-major: consecutive
+       coded bits land on successive OFDM symbols, so a TIME-localized hit
+       (impulse, collision) dents every codeword lightly instead of wiping
+       one contiguous codeword region;
+    2. bin scatter — the R axis itself is permuted by the (A2 × B2)
+       transpose (σ(a·B2 + c) = c·A2 + a, `scatter_factors`): a FREQUENCY
+       notch (contiguous bin range, hit in every symbol) then lands on
+       coded positions spaced B2·D apart instead of one contiguous run.
+
+    Works on numpy and jax arrays (shape ops only) — the golden twin calls
+    the same function.
+    """
+    *lead, _ = arr.shape
+    R, D = cfg.bits_per_ofdm_symbol, cfg.n_data_symbols
+    A2, B2 = scatter_factors(R)
+    if not inverse:
+        x = arr.reshape(*lead, A2, B2, D).swapaxes(-3, -2)
+        return x.reshape(*lead, R, D).swapaxes(-2, -1).reshape(*lead, R * D)
+    x = arr.reshape(*lead, D, R).swapaxes(-2, -1)
+    x = x.reshape(*lead, B2, A2, D).swapaxes(-3, -2)
+    return x.reshape(*lead, R * D)
 
 
 def interleave_pilots(cfg: ModemConfig, dsym: jnp.ndarray) -> jnp.ndarray:

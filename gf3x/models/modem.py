@@ -79,8 +79,16 @@ class Modem:
     Batched device paths: `modulate_frames`, `demodulate` (leading axes free).
     """
 
-    def __init__(self, cfg: ModemConfig):
+    def __init__(self, cfg: ModemConfig, max_delay: Optional[int] = None):
+        """`max_delay` (static, samples) bounds the frame onset the sync
+        searches for — the streaming receiver's case (a frame is known to
+        arrive within the current chunk). It shrinks the sync correlation
+        to the recording prefix; None searches the whole recording."""
         self.cfg = cfg.validate()
+        self.max_delay = max_delay
+        # decimate the bounded sync correlation when the chirp band fits
+        # the decimated Nyquist (timing granularity 2, inside the backoff)
+        self._sync_decimate = 2 if cfg.chirp_f1 * 4 <= cfg.fs * 0.95 else 1
         self.lay = layout(cfg)
         self.chirp = make_chirp(cfg)
         self._code = None
@@ -108,7 +116,11 @@ class Modem:
             coded = jnp.concatenate([coded, pad], axis=-1)
         else:
             coded = info_bits
-        return coded ^ jnp.asarray(self.lay.scramble)
+        coded = coded ^ jnp.asarray(self.lay.scramble)
+        if cfg.interleave:
+            from .frame import interleave_bits
+            coded = interleave_bits(cfg, coded)
+        return coded
 
     def modulate_frames(self, info_bits: jnp.ndarray) -> jnp.ndarray:
         """(..., payload_bits_per_frame) uint8 → (..., frame_len) float32.
@@ -130,18 +142,25 @@ class Modem:
         return jnp.concatenate(parts, axis=-1)
 
     # ------------------------------------------------------- device: receive
-    def _cut_frame(self, rx: jnp.ndarray, start: jnp.ndarray,
-                   R: Optional[jnp.ndarray] = None,
-                   nfft: Optional[int] = None):
-        """Sync position → (body (..., (K+D)·symbol_len), sc_win or None).
+    @property
+    def _cut_block(self) -> int:
+        """Grid of the coarse frame cut: the ≤ block-sample misalignment is
+        derotated post-FFT, so it must fit the CP's timing budget —
+        backoff (cp//4) + block ≤ 3·cp//4 leaves cp//4 for channel spread.
+        Capped at 128 (gathered slices of 512 B are already cheap)."""
+        return max(8, min(128, self.cfg.cp // 2))
 
-        ONE shift-theorem extraction (see `extract_windows_spec`) covers
-        both the Schmidl–Cox symbol and the OFDM body — previously the SC
-        presence check and the body cut each paid a full-grid inverse FFT.
-        Pass R = rfft(rx, nfft) to reuse the matched filter's spectrum.
-        The body starts `cp//4` inside the CP (timing backoff, SURVEY.md §8
-        data-dependent control flow risk)."""
-        from ..ops.sync import extract_windows_spec, rx_spectrum, sync_nfft
+    def _cut_frame(self, rx: jnp.ndarray, start: jnp.ndarray):
+        """Sync position → (body, sc_win or None, roll).
+
+        The cut is a pure BLOCK-ALIGNED gather (`gather_cut`): no FFT pair
+        at all in the extraction, cost independent of the recording length.
+        The windows start `roll` ∈ [0, _CUT_BLOCK) samples early; the CP
+        absorbs the shift (the body already starts `cp//4` inside the CP as
+        timing backoff), so the demod corrects it with one post-FFT phase
+        ramp, and the SC metric/clock estimators tolerate it via guarded
+        half-windows."""
+        from ..ops.sync import gather_cut
 
         cfg = self.cfg
         T = rx.shape[-1]
@@ -150,16 +169,14 @@ class Modem:
         cut_len = cfg.sc_len + need
         base = jnp.clip(start + cfg.chirp_len - backoff, 0, max(T - cut_len, 0))
         base = jnp.broadcast_to(base, rx.shape[:-1])
-        if R is None:
-            nfft = sync_nfft(T, 0)
-            R = rx_spectrum(rx, nfft)
-        W = extract_windows_spec(R, base, cut_len, nfft)
-        body = W[..., cfg.sc_len:]
+        W, roll = gather_cut(rx, base, cut_len, self._cut_block)
+        body = W[..., cfg.sc_len: cfg.sc_len + need]
         sc_win = None
         if cfg.use_schmidl_cox:
-            o = cfg.cp + backoff                 # SC body start within the cut
+            # centre the ±block misalignment inside the SC guard budget
+            o = cfg.cp + backoff + self._cut_block // 2
             sc_win = W[..., o: o + cfg.n_fft]
-        return body, sc_win
+        return body, sc_win, roll
 
     def _sc_of(self, sc_win: Optional[jnp.ndarray], lead: tuple) -> jnp.ndarray:
         """SC-symbol presence metric (≈1 on a frame) from its n_fft window."""
@@ -170,15 +187,15 @@ class Modem:
         return sc_metric_window(self.cfg, sc_win).astype(jnp.float32)
 
     def _demod_at(self, rx: jnp.ndarray, start: jnp.ndarray,
-                  R: Optional[jnp.ndarray] = None, nfft: Optional[int] = None,
                   use_pallas: Optional[bool] = None):
         """Demodulate frames whose chirp onset is `start`. rx: (..., T),
         start: (...,) int32 → (llr (..., raw_bits), diag pieces).
 
-        Window cut via the shared spectrum, then the common prewindowed
-        tail (fused Pallas EQ/demap on TPU, XLA twin elsewhere)."""
-        body, _ = self._cut_frame(rx, start, R, nfft)
-        return self._demod_prewindowed(body, use_pallas)
+        Window cut via the block-aligned gather, then the common
+        prewindowed tail (fused Pallas EQ/demap on TPU, XLA twin
+        elsewhere)."""
+        body, _, roll = self._cut_frame(rx, start)
+        return self._demod_prewindowed(body, use_pallas, roll=roll)
 
     def _fused_eq_demap(self, Y: jnp.ndarray, H: jnp.ndarray,
                         noise_var: jnp.ndarray, lead: tuple,
@@ -208,23 +225,48 @@ class Modem:
         evm = jnp.mean(diag_p[:, 2, :B], axis=0).reshape(lead)
         return llr, (H, noise_var, slope, cpe, evm)
 
-    def _eq_body(self, body: jnp.ndarray, delta=None):
+    def _deroll(self, Y: jnp.ndarray, roll) -> jnp.ndarray:
+        """Undo a known early window cut of `roll` samples (gather_cut):
+        Y_desired[k] = Y_early[k]·e^{+2πik·roll/N} (the CP makes the shift
+        circular). Y: (..., S, n_used); roll: (...,) int32."""
+        cfg = self.cfg
+        if roll is None:
+            return Y
+        k = jnp.arange(cfg.bin_lo, cfg.bin_hi + 1, dtype=jnp.float32)
+        ang = (jnp.float32(2.0 * np.pi / cfg.n_fft)
+               * roll.astype(jnp.float32)[..., None, None] * k)
+        return Y * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+    def _eq_body(self, body: jnp.ndarray, delta=None, roll=None):
         """CP-aligned OFDM body → equalized, phase-tracked data symbols.
 
         body: (..., (K+D)·symbol_len) → (data (..., D, n_data_bins) complex,
         nv_eff (..., n_data_bins), (H, noise_var, slope, cpe)). The XLA
         (non-Pallas) receive tail, shared by `_demod_prewindowed` and
-        `equalized_symbols`. `delta` routes to the δ-warped DFT demod."""
+        `equalized_symbols`. `delta` routes to the δ-warped DFT demod;
+        `roll` derotates a block-grid cut misalignment."""
         from .frame import split_pilots
 
         cfg = self.cfg
-        Y = ofdm_demodulate(cfg, body, delta)                  # (..., K+D, n_used)
+        lay = layout(cfg)
+        Y = self._deroll(ofdm_demodulate(cfg, body, delta), roll)
         H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :], delta)
         eq = equalize(H, Y[..., cfg.n_known_symbols:, :])
-        eq, slope, cpe = pilot_phase_correct(cfg, eq)
-        _, data = split_pilots(cfg, eq)                        # (..., D, n_data_bins)
+        eq, slope, cpe = pilot_phase_correct(cfg, eq, H)
+        pil, data = split_pilots(cfg, eq)                      # (..., D, n_data_bins)
         csi = jnp.abs(H) ** 2
-        _, nv_eff = split_pilots(cfg, noise_var[..., None] / jnp.maximum(csi, 1e-12))
+        w, _ = split_pilots(cfg, csi)                          # (..., P)
+        # per-SYMBOL noise from the pilot residuals: a time-localized hit
+        # (impulse, collision) makes that symbol's LLRs confidently WRONG
+        # under the global noise estimate; σ̂²_d = Σ_p w_p·|X̂_p − p|²/P
+        # (≈ σ²_d with CSI weighting) floors the per-symbol LLR scale so a
+        # burst symbol demaps as erasures instead (SURVEY.md §6.3 fault
+        # recovery; the interleaver then spreads what remains)
+        perr = jnp.abs(pil - jnp.asarray(lay.pilot_vals)) ** 2  # (..., D, P)
+        sig_d = jnp.sum(w[..., None, :] * perr, axis=-1) / cfg.n_pilots
+        nv_sym = jnp.maximum(noise_var[..., None], sig_d)      # (..., D)
+        _, inv_csi = split_pilots(cfg, 1.0 / jnp.maximum(csi, 1e-12))
+        nv_eff = nv_sym[..., None] * inv_csi[..., None, :]     # (..., D, n_data_bins)
         return data, nv_eff, (H, noise_var, slope, cpe)
 
     def equalized_symbols(self, rx: np.ndarray, start: Optional[int] = None) -> np.ndarray:
@@ -234,8 +276,8 @@ class Modem:
         rx = jnp.asarray(np.asarray(rx, dtype=np.float32))
 
         def fn(r, s):
-            body, _ = self._cut_frame(r, s)
-            data, _, _ = self._eq_body(body)
+            body, _, roll = self._cut_frame(r, s)
+            data, _, _ = self._eq_body(body, roll=roll)
             return jnp.stack([data.real, data.imag], axis=-1)
 
         if start is None:
@@ -251,6 +293,9 @@ class Modem:
     def _bits_from_llr(self, llr: jnp.ndarray) -> jnp.ndarray:
         """Channel LLRs (..., raw_bits) → info bits (..., payload_bits)."""
         cfg = self.cfg
+        if cfg.interleave:
+            from .frame import interleave_bits
+            llr = interleave_bits(cfg, llr, inverse=True)
         llr = llr * jnp.asarray(1.0 - 2.0 * self.lay.scramble.astype(np.float32))
         if cfg.fec == "ldpc":
             used = cfg.n_codewords * cfg.ldpc_n
@@ -297,29 +342,31 @@ class Modem:
         return bits, diag
 
     def _demod_prewindowed(self, body: jnp.ndarray, use_pallas: Optional[bool] = None,
-                           delta=None):
+                           delta=None, roll=None):
         """Demap a CP-aligned OFDM body (..., (K+D)·symbol_len) — the common
         tail of every decode path (window extraction already done). Routes
         to the fused Pallas EQ/demap kernel on TPU, the XLA twin elsewhere.
-        `delta` (traced scalar) routes the FFT stage to the δ-warped DFT."""
+        `delta` (traced scalar) routes the FFT stage to the δ-warped DFT;
+        `roll` derotates a block-grid cut misalignment (gather_cut)."""
         cfg = self.cfg
         if use_pallas is None:
             from ..utils.device import computation_on_tpu
             use_pallas = computation_on_tpu() and cfg.strided_pilots
         if use_pallas:
-            Y = ofdm_demodulate(cfg, body, delta)
+            Y = self._deroll(ofdm_demodulate(cfg, body, delta), roll)
             H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :], delta)
             return self._fused_eq_demap(Y, H, noise_var, body.shape[:-1])
-        data, nv_eff, (H, noise_var, slope, cpe) = self._eq_body(body, delta)
+        data, nv_eff, (H, noise_var, slope, cpe) = self._eq_body(body, delta, roll)
         llr3 = qam_demap_llr(
-            data, jnp.broadcast_to(nv_eff[..., None, :], data.shape), cfg.bits_per_symbol
+            data, jnp.broadcast_to(nv_eff, data.shape), cfg.bits_per_symbol
         )
         hard = hard_bits(llr3)
         evm = jnp.mean(jnp.abs(data - qam_map(hard, cfg.bits_per_symbol)) ** 2, axis=(-2, -1))
         llr = llr3.reshape(*body.shape[:-1], cfg.raw_bits_per_frame)
         return llr, (H, noise_var, slope, cpe, evm)
 
-    def _two_pass_delta(self, body: jnp.ndarray, sc_win: Optional[jnp.ndarray]):
+    def _two_pass_delta(self, body: jnp.ndarray, sc_win: Optional[jnp.ndarray],
+                        roll=None):
         """Clock-offset correction loop (coarse → fine): the SC fractional
         estimate seeds a δ-warped demod pass; that pass's pilot slopes give
         the final δ̂. (The warp corrects the FREQUENCY scaling — ICI — so
@@ -334,13 +381,12 @@ class Modem:
             d0 = jnp.mean(sc_clock_offset(cfg, sc_win))
         else:
             d0 = jnp.float32(0.0)
-        _, (_, _, slope_a, _, _) = self._demod_prewindowed(body, delta=d0)
+        _, (_, _, slope_a, _, _) = self._demod_prewindowed(body, delta=d0,
+                                                           roll=roll)
         return jnp.mean(slope_clock_offset(cfg, slope_a))
 
     def _demod_synced(self, rx: jnp.ndarray, start: jnp.ndarray,
                       metric: jnp.ndarray,
-                      R: Optional[jnp.ndarray] = None,
-                      nfft: Optional[int] = None,
                       sfo_correct: bool = False):
         """Shared decode tail once a frame start is known: cut → demap →
         FEC → DecodeDiag. `sfo_correct` inserts the clock-offset loop
@@ -349,9 +395,11 @@ class Modem:
         from ..ops.sfo import slope_clock_offset
 
         cfg = self.cfg
-        body, sc_win = self._cut_frame(rx, start, R, nfft)
-        delta = self._two_pass_delta(body, sc_win) if sfo_correct else None
-        llr, (H, nv, slope, cpe, evm) = self._demod_prewindowed(body, delta=delta)
+        body, sc_win, roll = self._cut_frame(rx, start)
+        delta = (self._two_pass_delta(body, sc_win, roll)
+                 if sfo_correct else None)
+        llr, (H, nv, slope, cpe, evm) = self._demod_prewindowed(
+            body, delta=delta, roll=roll)
         bits = self._bits_from_llr(llr)
         # pilot slopes measure the full timing drift (= δ) on warped and
         # unwarped passes alike — no delta offset to add
@@ -375,15 +423,13 @@ class Modem:
         """Full RX stack (SURVEY.md §4.2): sync → FFT → LS est → EQ → pilot
         tracking → demap → FEC. rx: (..., T) f32 → (bits, DecodeDiag).
 
-        One rfft of the recording feeds the chirp matched filter, the
-        shift-theorem frame cut, and the SC presence check."""
-        from ..ops.sync import rx_spectrum, sync_nfft
-
-        T = rx.shape[-1]
-        nfft = sync_nfft(T, len(self.chirp))
-        R = rx_spectrum(rx, nfft)
-        start, metric = find_frame_start(self.cfg, rx, self.chirp, R=R, nfft=nfft)
-        return self._demod_synced(rx, start, metric, R=R, nfft=nfft)
+        With a `max_delay` bound (streaming), the sync correlation runs on
+        the static recording prefix; the frame cut and SC check share one
+        block-gather extraction either way."""
+        start, metric = find_frame_start(
+            self.cfg, rx, self.chirp, search_len=self.max_delay,
+            decimate=self._sync_decimate if self.max_delay else 1)
+        return self._demod_synced(rx, start, metric)
 
     def demodulate_sfo(self, rx: jnp.ndarray):
         """Clock-offset-robust RX (SURVEY.md:133/:399 "fractional CFO from
@@ -394,14 +440,10 @@ class Modem:
         path is engineered to ±~1000 ppm, where accumulated window drift
         approaches the CP timing budget). One jit program; assumes one
         shared clock pair across batch rows."""
-        from ..ops.sync import rx_spectrum, sync_nfft
-
-        T = rx.shape[-1]
-        nfft = sync_nfft(T, len(self.chirp))
-        R = rx_spectrum(rx, nfft)
-        start, metric = find_frame_start(self.cfg, rx, self.chirp, R=R, nfft=nfft)
-        return self._demod_synced(rx, start, metric, R=R, nfft=nfft,
-                                  sfo_correct=True)
+        start, metric = find_frame_start(
+            self.cfg, rx, self.chirp, search_len=self.max_delay,
+            decimate=self._sync_decimate if self.max_delay else 1)
+        return self._demod_synced(rx, start, metric, sfo_correct=True)
 
     def demodulate_sc(self, rx: jnp.ndarray):
         """RX stack synced by the Schmidl–Cox plateau instead of the chirp —

@@ -265,13 +265,21 @@ class StreamResult:
     missing: list[int] = field(default_factory=list)
 
 
-def decode_stream(modem: Modem, rx: np.ndarray, threshold: float = 0.4) -> StreamResult:
+def decode_stream(modem: Modem, rx: np.ndarray, threshold: float = 0.4,
+                  sfo: str = "auto") -> StreamResult:
     """Recording with any number of frames → reassembled file bytes.
 
     All detected frames decode in one batched jit call (windows are sliced
     on the host at the detected onsets, so the in-jit sync is a no-op
     start=0). Reassembly requires every seq 0..total−1 present with CRC ok.
+
+    sfo: 'off' | 'auto' | 'on' — the clock-offset correction loop (see
+    `Modem.demodulate_sfo`); 'auto' re-decodes through it when any frame
+    fails CRC or reports a clock offset beyond the plain receiver's range
+    (one shared soundcard pair per recording is assumed).
     """
+    from ..ops.sfo import SLOPE_PPM_RANGE
+
     cfg = modem.cfg
     rx32 = np.asarray(rx, dtype=np.float32)
     if rx32.size > 1_000_000:
@@ -290,16 +298,33 @@ def decode_stream(modem: Modem, rx: np.ndarray, threshold: float = 0.4) -> Strea
     pad = np.zeros(cfg.frame_len, dtype=np.float32)
     rx_pad = np.concatenate([rx32, pad])
     windows = np.stack([rx_pad[s: s + cfg.frame_len] for s in starts])
-    results = []
-    # windows are already cut at the chirp onset → static-slice decode path
-    # (no full-recording FFTs)
-    bits, diag = modem._decode_win_jit(jnp.asarray(windows))
-    bits = np.asarray(bits)
-    diag = Modem._host_diag(jax.device_get(diag))
-    for i in range(len(starts)):
-        d = jax.tree.map(lambda x, i=i: x[i], diag)
-        r = modem._result(bits[i], d)
-        results.append(r)
+
+    def decode_windows(correct: bool) -> list[DecodeResult]:
+        # windows are already cut at the chirp onset → static-slice decode
+        # path (no full-recording FFTs)
+        if correct:
+            if not hasattr(modem, "_decode_win_sfo_jit"):
+                modem._decode_win_sfo_jit = jax.jit(
+                    lambda w: modem.demodulate_prewindowed(w, sfo_correct=True))
+            bits, diag = modem._decode_win_sfo_jit(jnp.asarray(windows))
+        else:
+            bits, diag = modem._decode_win_jit(jnp.asarray(windows))
+        bits = np.asarray(bits)
+        diag = Modem._host_diag(jax.device_get(diag))
+        return [
+            modem._result(bits[i], jax.tree.map(lambda x, i=i: x[i], diag))
+            for i in range(len(starts))
+        ]
+
+    results = decode_windows(sfo == "on")
+    if (sfo == "auto" and cfg.use_schmidl_cox
+            and any(not r.crc_ok
+                    or abs(float(np.asarray(r.diag.clock_ppm))) > SLOPE_PPM_RANGE
+                    for r in results)):
+        retry = decode_windows(True)
+        # keep whichever decode validated, per frame
+        results = [rt if rt.crc_ok or not r0.crc_ok else r0
+                   for r0, rt in zip(results, retry)]
 
     return merge_streams(StreamResult(payload=None, filename="", complete=False,
                                       frames=results, starts=starts))

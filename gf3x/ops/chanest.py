@@ -15,7 +15,32 @@ import jax.numpy as jnp
 
 from ..config import ModemConfig, layout
 
-__all__ = ["estimate_channel", "equalize", "pilot_phase_correct"]
+__all__ = ["estimate_channel", "equalize", "pilot_phase_correct",
+           "denoise_projection"]
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def denoise_projection(cfg: ModemConfig) -> np.ndarray:
+    """Host projection matrix P (n_used × n_used) complex64 onto the
+    subspace of channels with ≤ cfg.est_taps time-domain taps.
+
+    The raw LS Ĥ has independent per-bin noise; a physical channel inside
+    the cyclic prefix spans ≤ cp taps, so H_used = W h with
+    W[k,t] = e^{-2πi·k·t/N} over the used band. P = W (WᴴW)⁻¹ Wᴴ is the
+    least-squares projector: Ĥ' = P Ĥ keeps the channel exactly (when it
+    fits in the taps) and cuts estimator noise by ≈ n_used/taps
+    (SURVEY.md:132's impulse-response-domain estimate refinement).
+    """
+    taps = cfg.est_taps
+    assert taps > 0
+    k = np.arange(cfg.bin_lo, cfg.bin_hi + 1, dtype=np.float64)
+    t = np.arange(taps, dtype=np.float64)
+    W = np.exp(-2j * np.pi * np.outer(k, t) / cfg.n_fft)
+    G = W.conj().T @ W + 1e-9 * np.eye(taps)
+    P = W @ np.linalg.solve(G, W.conj().T)
+    return P.astype(np.complex64)
 
 
 def estimate_channel(cfg: ModemConfig, known_rx: jnp.ndarray, delta=None):
@@ -39,8 +64,13 @@ def estimate_channel(cfg: ModemConfig, known_rx: jnp.ndarray, delta=None):
         known_rx = known_rx * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
     ratio = known_rx / X
     H = jnp.mean(ratio, axis=-2)
+    # noise_var from the RAW residual (before denoising): a conservative
+    # post-EQ noise figure for the LLR scaling
     resid = known_rx - H[..., None, :] * X
     noise_var = jnp.mean(jnp.abs(resid) ** 2, axis=(-2, -1))
+    if cfg.est_taps:
+        P = jnp.asarray(denoise_projection(cfg))
+        H = H @ P.T                      # Ĥ'[j] = Σ_k P[j,k]·Ĥ[k]
     return H, noise_var
 
 
@@ -49,13 +79,20 @@ def equalize(H: jnp.ndarray, data_rx: jnp.ndarray) -> jnp.ndarray:
     return data_rx / H[..., None, :]
 
 
-def pilot_phase_correct(cfg: ModemConfig, eq: jnp.ndarray):
+def pilot_phase_correct(cfg: ModemConfig, eq: jnp.ndarray,
+                        H: jnp.ndarray | None = None):
     """Residual timing-drift/phase correction from pilot phase slopes.
 
     Per data symbol fit ∠(X̂_p·p*) ≈ a·k + b (SURVEY.md Appendix "Pilot
     phase tracking"): slope from adjacent-pilot phase increments (no
     unwrapping), intercept from the slope-compensated pilot sum. Returns
     (corrected (..., D, n_used), slope (..., D), intercept (..., D)).
+
+    Pass Ĥ to CSI-weight the fit: post-EQ pilots in a deep notch carry
+    noise amplified by 1/|H| (measured: a 19-bin notch made 50×-amplified
+    garbage pilots DOMINATE the unweighted fit and rotate whole symbols).
+    Weighting z by |H_p|² is equivalent to fitting on the pre-EQ values
+    Y_p·conj(Ĥ·p) — scale-invariant on flat channels.
     """
     from ..models.frame import split_pilots
 
@@ -66,6 +103,9 @@ def pilot_phase_correct(cfg: ModemConfig, eq: jnp.ndarray):
     pvals = jnp.asarray(lay.pilot_vals)
     pil, _ = split_pilots(cfg, eq)
     z = pil * jnp.conj(pvals)                            # (..., D, P)
+    if H is not None:
+        w, _ = split_pilots(cfg, jnp.abs(H) ** 2)        # (..., P)
+        z = z * w[..., None, :]
     mean_dk = np.float32(np.mean(np.diff(lay.pilot_pos.astype(np.float64))))
     inc = z[..., 1:] * jnp.conj(z[..., :-1])
     a = jnp.angle(jnp.sum(inc, axis=-1)) / mean_dk       # coarse, (..., D)

@@ -56,11 +56,18 @@ def _tables(n: int):
     return n1, n2, W2, W1t, T
 
 
-def fft_mm(x: jnp.ndarray, n: int) -> jnp.ndarray:
+def fft_mm(x: jnp.ndarray, n: int,
+           precision: jax.lax.Precision | None = None) -> jnp.ndarray:
     """Forward complex FFT of length n (power of two ≥ 2^14) over the last
     axis via two MXU matmul stages. x: (..., m) complex64, zero-padded or
     truncated to n. Output index k = n2·c + d is returned as the (..., d, c)
-    matrix transposed — both matmuls are in natural (no-relayout) form."""
+    matrix transposed — both matmuls are in natural (no-relayout) form.
+
+    `precision` trades matmul passes for error (measured per-element rel):
+    HIGHEST (default, f32/bf16x6) ~1e-6; HIGH (bf16x3) ~1e-5; DEFAULT (one
+    bf16 pass) ~4e-3 (−45 dB) — pick per consumer: the demod-facing window
+    extraction wants ≥HIGH, a peak-picked matched filter tolerates DEFAULT.
+    """
     n1, n2, W2, W1t, T = _tables(n)
     *lead, m = x.shape
     if m < n:
@@ -68,22 +75,21 @@ def fft_mm(x: jnp.ndarray, n: int) -> jnp.ndarray:
     elif m > n:
         x = x[..., :n]
     xr = x.reshape(*lead, n2, n1)                           # [a, b] = x[n1·a+b]
-    # HIGHEST precision: the TPU default runs matmuls as single bf16 passes
-    # (~4e-3/element) — a −45 dB error floor on every window the demod
-    # consumes. HIGHEST (bf16x3/f32) restores the documented ~1e-6 rel.
-    hi = jax.lax.Precision.HIGHEST
+    hi = jax.lax.Precision.HIGHEST if precision is None else precision
     G = jnp.matmul(jnp.asarray(W2), xr, precision=hi)       # (..., d, b)
     H = G * jnp.asarray(T)
     X = jnp.matmul(H, jnp.asarray(W1t), precision=hi)       # (..., d, c)
     return jnp.swapaxes(X, -1, -2).reshape(*lead, n)        # k = n2·c + d
 
 
-def ifft_mm(X: jnp.ndarray, n: int) -> jnp.ndarray:
+def ifft_mm(X: jnp.ndarray, n: int,
+            precision: jax.lax.Precision | None = None) -> jnp.ndarray:
     """Inverse complex FFT: conj∘fft∘conj / n."""
-    return jnp.conj(fft_mm(jnp.conj(X), n)) / n
+    return jnp.conj(fft_mm(jnp.conj(X), n, precision)) / n
 
 
-def rfft_mm(x: jnp.ndarray, n: int) -> jnp.ndarray:
+def rfft_mm(x: jnp.ndarray, n: int,
+            precision: jax.lax.Precision | None = None) -> jnp.ndarray:
     """Real→half-spectrum FFT of length n over the last axis.
 
     Packs even/odd samples into one complex sequence of length n/2 (the
@@ -96,9 +102,12 @@ def rfft_mm(x: jnp.ndarray, n: int) -> jnp.ndarray:
     elif m > n:
         x = x[..., :n]
     h = n // 2
-    xp = x.reshape(*x.shape[:-1], h, 2)
-    z = jax.lax.complex(xp[..., 0], xp[..., 1])             # (..., n/2)
-    Z = fft_mm(z, h)
+    # even/odd pack as a dtype VIEW: [re0, im0, re1, im1, ...] is exactly the
+    # complex64 memory layout, so no (..., h, 2)-shaped f32 temporary is
+    # materialized (its minor dim of 2 pads to 128 lanes on TPU — a 64×
+    # memory blowup that OOMed real compiles)
+    z = x.view(jnp.complex64)                               # (..., n/2)
+    Z = fft_mm(z, h, precision)
     Zf = jnp.concatenate([Z, Z[..., :1]], axis=-1)          # Z[k], k=0..h
     Zr = jnp.concatenate([Z[..., :1], Z[..., :0:-1], Z[..., :1]],
                          axis=-1)                           # Z[(h−k) mod h], k=0..h
@@ -109,7 +118,8 @@ def rfft_mm(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return (Xe + w * Xo).astype(jnp.complex64)              # (..., n/2+1)
 
 
-def irfft_mm(R: jnp.ndarray, n: int) -> jnp.ndarray:
+def irfft_mm(R: jnp.ndarray, n: int,
+             precision: jax.lax.Precision | None = None) -> jnp.ndarray:
     """Half-spectrum → real inverse FFT of length n (inverse of rfft_mm).
 
     Untangles the half spectrum back into the length-n/2 complex transform
@@ -124,7 +134,8 @@ def irfft_mm(R: jnp.ndarray, n: int) -> jnp.ndarray:
     Ze = 0.5 * (Xf + Xr)
     Zo = 0.5 * w * (Xf - Xr)
     Z = Ze + 1j * Zo                                        # fft of packed seq
-    z = ifft_mm(Z, h)
+    z = ifft_mm(Z, h, precision)
     *lead, _ = z.shape
-    out = jnp.stack([z.real, z.imag], axis=-1).reshape(*lead, n)
-    return out.astype(jnp.float32)
+    # interleave via dtype view (see rfft_mm): complex64 memory IS the
+    # interleaved (re, im) float stream
+    return z.view(jnp.float32)                              # (..., n)

@@ -88,12 +88,15 @@ def _make_kernel(cfg: ModemConfig, LP: int):
         er = (yr * hr + yi * hi) * inv                            # eq = Y·H*/|H|²
         ei = (yi * hr - yr * hi) * inv
 
-        # ---- pilot phase regression (slope a, intercept b)
+        # ---- pilot phase regression (slope a, intercept b), CSI-weighted:
+        # z = X̂_p·p*·|H_p|² — equivalent to fitting on pre-EQ pilot values,
+        # so notch bins (noise amplified 1/|H| by the EQ) cannot dominate
         err3 = er.reshape(n_pil, sp, LANES)
         eri3 = ei.reshape(n_pil, sp, LANES)
         pr, pi_ = err3[:, 0], eri3[:, 0]                          # (P, L)
-        zr = pr * pvr + pi_ * pvi                                 # z = X̂_p·p*
-        zi = pi_ * pvr - pr * pvi
+        h2p = h2.reshape(n_pil, sp, LANES)[:, 0]                  # (P, L)
+        zr = (pr * pvr + pi_ * pvi) * h2p
+        zi = (pi_ * pvr - pr * pvi) * h2p
         ir = jnp.sum(zr[1:] * zr[:-1] + zi[1:] * zi[:-1], axis=0, keepdims=True)
         ii = jnp.sum(zi[1:] * zr[:-1] - zr[1:] * zi[:-1], axis=0, keepdims=True)
         a = _atan2(ii, ir) / mean_dk                              # coarse rad/bin
@@ -125,7 +128,13 @@ def _make_kernel(cfg: ModemConfig, LP: int):
         dr = er2.reshape(n_pil, sp, LANES)[:, 1:].reshape(n_data, LANES)
         di = ei2.reshape(n_pil, sp, LANES)[:, 1:].reshape(n_data, LANES)
         h2d = h2.reshape(n_pil, sp, LANES)[:, 1:].reshape(n_data, LANES)
-        nv = nv_ref[0:1, :]                                       # (1, L) -> bcast
+        # per-symbol noise floor from the derotated pilots' CSI-weighted
+        # residuals (twin of Modem._eq_body): σ̂² = Σ_p h²_p·|X̂_p − p|²/P
+        pr2 = er2.reshape(n_pil, sp, LANES)[:, 0]
+        pi2 = ei2.reshape(n_pil, sp, LANES)[:, 0]
+        perr = (pr2 - pvr) ** 2 + (pi2 - pvi) ** 2                # (P, L)
+        sig = jnp.sum(h2p * perr, axis=0, keepdims=True) / jnp.float32(n_pil)
+        nv = jnp.maximum(nv_ref[0:1, :], sig)                     # (1, L)
         nv_eff = jnp.maximum(nv / jnp.maximum(h2d, 1e-12), 1e-12)
         inv_nv = 1.0 / nv_eff
 

@@ -21,6 +21,8 @@ __all__ = [
     "matched_filter",
     "matched_filter_spec",
     "streaming_matched_filter",
+    "gather_cut",
+    "extract_windows_block",
     "find_frame_start",
     "schmidl_cox_metric",
     "sc_metric_at",
@@ -44,30 +46,36 @@ def rx_spectrum(rx: jnp.ndarray, nfft: int) -> jnp.ndarray:
     """rfft of the recording at the sync FFT length — computed once and
     shared by the matched filter and the frame-window extraction.
 
-    Stays on jnp.fft: the matmul forward (rfft_mm) measured slightly slower
-    here — its even/odd packing and untangling outweigh the VPU-FFT cost of
-    one forward transform. The two *inverse* transforms route to the MXU
-    form (see `_irfft`), where the win is ~11×.
+    Stays on jnp.fft: the VPU forward rfft measured 12.6 ms for
+    (1024, 65536) vs 14.4 ms for the matmul four-step form — both
+    HBM-bandwidth-bound, and the VPU form needs no packing.
     """
     return jnp.fft.rfft(rx, nfft, axis=-1)
 
 
-def _irfft(X: jnp.ndarray, nfft: int) -> jnp.ndarray:
+def _irfft(X: jnp.ndarray, nfft: int,
+           precision: jax.lax.Precision | None = None) -> jnp.ndarray:
     """Inverse real FFT, routed to the MXU matmul formulation on TPU for
-    large sizes: XLA's TPU FFT runs on the VPU at ~16 ms per (1024, 65536)
-    inverse; the four-step matmul form (`ops.mmfft`) does it in ~1.5 ms."""
+    large sizes (the VPU FFT measured 17 ms per (1024, 65536) inverse; the
+    four-step matmul form ~12 ms at HIGHEST, ~6 ms at HIGH, ~2 ms at
+    DEFAULT). `precision` applies to the matmul form only."""
     from ..utils.device import computation_on_tpu
     from .mmfft import good_mm_size, irfft_mm
 
     if good_mm_size(nfft) and computation_on_tpu():
-        return irfft_mm(X, nfft)
+        return irfft_mm(X, nfft, precision)
     return jnp.fft.irfft(X, nfft, axis=-1).astype(jnp.float32)
 
 
 def matched_filter_spec(R: jnp.ndarray, chirp: np.ndarray, T: int, nfft: int) -> jnp.ndarray:
-    """Matched filter from a precomputed spectrum R = rfft(rx, nfft)."""
+    """Matched filter from a precomputed spectrum R = rfft(rx, nfft).
+
+    The inverse transform runs at DEFAULT matmul precision (one bf16 pass,
+    −45 dB error floor): the output is only argmax-peak-picked and
+    NCC-thresholded, never demodulated, and the correlation peak sits
+    10–40 dB above the floor at any decodable SNR."""
     c_f = jnp.asarray(np.conj(np.fft.rfft(chirp, nfft)).astype(np.complex64))
-    M = _irfft(R * c_f, nfft)
+    M = _irfft(R * c_f, nfft, jax.lax.Precision.DEFAULT)
     return M[..., :T].astype(jnp.float32)
 
 
@@ -134,12 +142,68 @@ def extract_windows_spec(
     s = starts.astype(jnp.uint32)[..., None]
     m = (s * k) & jnp.uint32(nfft - 1)           # (start·k) mod nfft, exact
     ang = jnp.float32(2.0 * np.pi / nfft) * m.astype(jnp.float32)
-    rolled = _irfft(R * jax.lax.complex(jnp.cos(ang), jnp.sin(ang)), nfft)
+    # HIGH (bf16x3): the extracted windows feed the demodulator, so the
+    # −45 dB single-pass floor is not acceptable, but ~1e-5 rel is ≈50 dB
+    # below the noise of even a 35 dB-SNR capture
+    rolled = _irfft(R * jax.lax.complex(jnp.cos(ang), jnp.sin(ang)), nfft,
+                    jax.lax.Precision.HIGH)
     return rolled[..., :need].astype(jnp.float32)
 
 
+def gather_cut(rx: jnp.ndarray, starts: jnp.ndarray, need: int,
+               block: int = 128) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Block-aligned coarse cut: (win (..., nb·block), r (...,)).
+
+    `win` starts at floor(start/block)·block — i.e. r = start − win_start ∈
+    [0, block) samples EARLY — and covers ≥ start+need. Whole-block gathers
+    are cheap on TPU (contiguous 512 B slices), and the misalignment r is
+    returned for the consumer to absorb: an OFDM demod folds it into a
+    post-FFT phase ramp (the CP absorbs the window shift), so the exact-cut
+    FFT pair of `extract_windows_block` disappears from the decode path.
+    """
+    *lead, T = rx.shape
+    nb = -(-(need + block) // block)
+    n_blocks = -(-T // block) + nb
+    Tp = n_blocks * block
+    rxp = jnp.pad(rx, [(0, 0)] * len(lead) + [(0, Tp - T)])
+    xb = rxp.reshape(*lead, n_blocks, block)
+    q = jnp.clip(starts.astype(jnp.int32) // block, 0, n_blocks - nb)
+    idx = q[..., None] + jnp.arange(nb, dtype=jnp.int32)
+    g = jnp.take_along_axis(xb, idx[..., None], axis=-2)    # (..., nb, block)
+    win = g.reshape(*lead, nb * block)
+    r = jnp.clip(starts.astype(jnp.int32) - q * block, 0, block - 1)
+    return win, r
+
+
+def extract_windows_block(rx: jnp.ndarray, starts: jnp.ndarray, need: int,
+                          block: int = 512) -> jnp.ndarray:
+    """Cut rx[start : start+need] per row, cost INDEPENDENT of T.
+
+    Two stages: a coarse gather of whole `block`-sample chunks (TPU gathers
+    of 2 KB-contiguous slices are cheap, unlike per-element gathers), then
+    the shift-theorem roll (`extract_windows_spec`) for the sub-block
+    residual at F = next_pow2(need + block) — for GF3 geometry F = 32768
+    regardless of recording length, vs a full-recording-sized grid for the
+    spectral path (65536+ and growing with T).
+    """
+    *lead, T = rx.shape
+    nb = -(-(need + block) // block)
+    F = _next_pow2(nb * block)
+    n_blocks = -(-T // block) + nb           # pad so q+nb always in range
+    Tp = n_blocks * block
+    rxp = jnp.pad(rx, [(0, 0)] * len(lead) + [(0, Tp - T)])
+    xb = rxp.reshape(*lead, n_blocks, block)
+    q = jnp.clip(starts.astype(jnp.int32) // block, 0, n_blocks - nb)
+    idx = q[..., None] + jnp.arange(nb, dtype=jnp.int32)
+    g = jnp.take_along_axis(xb, idx[..., None], axis=-2)    # (..., nb, block)
+    win = g.reshape(*lead, nb * block)
+    r = jnp.clip(starts.astype(jnp.int32) - q * block, 0, F - need)
+    return extract_windows_spec(rx_spectrum(win, F), r, need, F)
+
+
 def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray,
-                     R: jnp.ndarray | None = None, nfft: int | None = None):
+                     R: jnp.ndarray | None = None, nfft: int | None = None,
+                     search_len: int | None = None, decimate: int = 1):
     """Chirp sync: (..., T) recording → (start (...,) int32, metric (...,) f32).
 
     argmax |m| then first-arrival refinement: earliest tap within 6 dB of
@@ -148,9 +212,41 @@ def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray,
     for the golden model's median in the peak metric (no O(T log T) sort on
     device; both are floor estimates of the correlation noise).
 
-    Pass R = rfft(rx, nfft) to reuse a precomputed spectrum.
+    Pass R = rfft(rx, nfft) to reuse a precomputed spectrum. `search_len`
+    (static) bounds the candidate onset to [0, search_len): the correlation
+    then runs on the static prefix rx[:search_len + chirp_len] with a
+    correspondingly small FFT — the streaming receiver's case, where a
+    frame is known to arrive within the current chunk. `decimate` (static,
+    only with search_len) correlates every decimate-th sample — valid when
+    the chirp band fits the decimated Nyquist; timing granularity becomes
+    `decimate` samples, absorbed by the CP backoff.
     """
-    if R is not None:
+    if search_len is not None:
+        S = min(search_len, rx.shape[-1])
+        seg = rx[..., : min(S + len(chirp), rx.shape[-1])]
+        if decimate > 1:
+            seg = seg[..., ::decimate]
+            mabs_d = jnp.abs(matched_filter(seg, chirp[::decimate]))
+            mabs_d = mabs_d[..., : S // decimate]
+            peak = jnp.argmax(mabs_d, axis=-1).astype(jnp.int32)
+            peak_val = jnp.take_along_axis(mabs_d, peak[..., None], axis=-1)[..., 0]
+            W = cfg.cp // decimate + 1
+
+            def refine_d(mrow, p, pv):
+                base = jnp.maximum(p - cfg.cp // decimate, 0)
+                win = jax.lax.dynamic_slice(mrow, (base,), (W,))
+                idx = jnp.arange(W, dtype=jnp.int32)
+                valid = (win >= 0.5 * pv) & (base + idx <= p)
+                first = jnp.argmax(valid).astype(jnp.int32)
+                return base + first
+
+            flat_m = mabs_d.reshape(-1, mabs_d.shape[-1])
+            start = jax.vmap(refine_d)(flat_m, peak.reshape(-1),
+                                       peak_val.reshape(-1)).reshape(peak.shape)
+            metric = peak_val / (jnp.mean(mabs_d, axis=-1) + 1e-12)
+            return (decimate * start).astype(jnp.int32), metric
+        mabs = jnp.abs(matched_filter(seg, chirp))[..., :S]
+    elif R is not None:
         mabs = jnp.abs(matched_filter_spec(R, chirp, rx.shape[-1], nfft))
     else:
         mabs = jnp.abs(matched_filter(rx, chirp))
@@ -287,15 +383,21 @@ def sc_metric_at(cfg: ModemConfig, rx: jnp.ndarray, d: jnp.ndarray,
 def sc_metric_window(cfg: ModemConfig, win: jnp.ndarray) -> jnp.ndarray:
     """SC metric of one already-cut n_fft window: win (..., n_fft) → (...,).
 
-    M = P²/R² over the window's two halves. ≈1 when the window holds the
-    repeated-half SC symbol."""
+    M = P²/R² over the window's two halves, measured on GUARDED sub-windows
+    (length half − 2·(half//4), skipping half//4 samples at each end): the
+    half-periodicity then survives ±half//4 samples of window misplacement
+    — block-grid cuts (`gather_cut`) and sync error land inside that
+    budget. ≈1 when the window holds the repeated-half SC symbol."""
     half = cfg.n_fft // 2
-    first, second = win[..., :half], win[..., half:]
-    P = jnp.sum(first * second, axis=-1)
-    Rw = jnp.sum(second * second, axis=-1)
+    guard = half // 4
+    L = half - 2 * guard
+    h1 = win[..., guard: guard + L]
+    h2 = win[..., guard + half: guard + half + L]
+    P = jnp.sum(h1 * h2, axis=-1)
+    Rw = jnp.sum(h2 * h2, axis=-1)
     # energy floor: by Cauchy–Schwarz |P| ≤ √(E₁·E₂), so windows whose
     # second half carries ≪ half the window energy (no repeated structure,
     # or silence) are pushed toward M ≈ 0 rather than 0/0 noise
-    tot = jnp.sum(win * win, axis=-1)
+    tot = jnp.sum(h1 * h1, axis=-1) + Rw
     Rw = jnp.maximum(Rw, 0.05 * tot + 1e-24)
     return (P * P) / (Rw * Rw)

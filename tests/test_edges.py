@@ -118,3 +118,50 @@ def test_sc_metric_long_recording_no_cancellation():
     assert M[sc_body] > 0.5
     far = np.concatenate([M[: pos - cfg.frame_len], M[pos + cfg.frame_len:]])
     assert np.max(far) < 0.5
+
+
+def test_extract_windows_block_matches_direct_slice():
+    """Block-gather + shift-theorem extraction is an exact window cut."""
+    import jax.numpy as jnp
+    from gf3x.ops.sync import extract_windows_block
+
+    rng = np.random.default_rng(21)
+    rx = rng.standard_normal((3, 50_000)).astype(np.float32)
+    starts = np.array([0, 12345, 17_000], dtype=np.int32)
+    need = 31_000
+    W = np.asarray(extract_windows_block(jnp.asarray(rx), jnp.asarray(starts), need))
+    for i, s in enumerate(starts):
+        ref = rx[i, s: s + need]
+        assert np.max(np.abs(W[i] - ref)) < 1e-5, i
+    # starts beyond the valid range clamp instead of wrapping garbage
+    W2 = np.asarray(extract_windows_block(
+        jnp.asarray(rx[:1]), jnp.asarray([49_000], dtype=np.int32), need))
+    assert W2.shape == (1, need)  # smoke: no crash, finite values
+    assert np.isfinite(W2).all()
+
+
+def test_channel_denoise_reduces_estimator_noise():
+    """The tap-subspace projection cuts LS Ĥ noise ≈ n_used/taps without
+    biasing channels inside the taps (VERDICT r1 item 4)."""
+    import jax.numpy as jnp
+    from gf3x.config import GF3_STANDARD
+    from gf3x.ops.chanest import estimate_channel
+    from gf3x.config import layout as get_layout
+
+    cfg_on = GF3_STANDARD
+    cfg_off = GF3_STANDARD.replace(chanest_taps=0)
+    assert cfg_on.est_taps == cfg_on.cp // 2
+    lay = get_layout(cfg_on)
+    rng = np.random.default_rng(5)
+    # a true (real) channel with 40 taps (well inside est_taps)
+    h = rng.standard_normal(40) * np.exp(-np.arange(40) / 10)
+    Hk = np.fft.rfft(np.concatenate([h, np.zeros(cfg_on.n_fft - 40)]))[
+        lay.used_bins]
+    X = lay.known_syms
+    noise = 0.05 * (rng.standard_normal(X.shape) + 1j * rng.standard_normal(X.shape))
+    known_rx = jnp.asarray((Hk[None, :] * X + noise).astype(np.complex64))
+    H_raw, _ = estimate_channel(cfg_off, known_rx)
+    H_den, _ = estimate_channel(cfg_on, known_rx)
+    err_raw = np.mean(np.abs(np.asarray(H_raw) - Hk) ** 2)
+    err_den = np.mean(np.abs(np.asarray(H_den) - Hk) ** 2)
+    assert err_den < 0.7 * err_raw, (err_raw, err_den)

@@ -66,16 +66,20 @@ def test_cross_parity_jax_decodes_golden(modem, golden):
 
 
 def test_uncoded_fails_where_ldpc_survives(golden):
-    """The FEC earns its keep: same channel kills the uncoded config."""
+    """The FEC earns its keep: same channel kills the uncoded config.
+
+    (Round 2 dropped the SNR from 18 to 12 dB: the CSI-weighted pilot
+    tracking + per-symbol noise floors made the UNCODED receiver survive
+    the original 18 dB lecture-hall conditions.)"""
     from gf3x import CONFIG1_LOOPBACK
     rng = np.random.default_rng(23)
     payload = bytes(rng.integers(0, 256, size=300, dtype=np.uint8))
     uncoded = GoldenModem(CONFIG1_LOOPBACK)
     rng2 = np.random.default_rng(24)
-    rx_u = _harsh_channel(uncoded.encode(payload), rng2)
+    rx_u = _harsh_channel(uncoded.encode(payload), rng2, snr_db=12.0)
     res_u = uncoded.decode(rx_u)
     rng2 = np.random.default_rng(24)
-    rx_c = _harsh_channel(golden.encode(payload), rng2)
+    rx_c = _harsh_channel(golden.encode(payload), rng2, snr_db=12.0)
     res_c = golden.decode(rx_c)
     assert res_c.crc_ok and res_c.payload == payload
     assert not res_u.crc_ok

@@ -34,3 +34,64 @@ def test_ldpc_pallas_kernel_matches_xla(z):
 
     assert np.array_equal(bits_pal, bits_xla)
     assert np.mean(bits_xla != u) < 0.01  # and it actually decodes
+
+
+@pytest.mark.parametrize("bps", [2, 4, 6])
+def test_fused_eq_demap_matches_xla(bps):
+    """The fused Pallas EQ/track/demap kernel vs its XLA twin on real frame
+    geometry at every constellation order — including the M=8 static
+    level-set unroll (VERDICT r1 item 7: previously untested)."""
+    import jax
+    import numpy as np
+    from gf3x import GF3_STANDARD, Modem
+    from gf3x.ops.chanest import estimate_channel
+    from gf3x.ops.ofdm import ofdm_demodulate
+
+    cfg = GF3_STANDARD.replace(bits_per_symbol=bps, fec="none",
+                               n_data_symbols=6, chanest_taps=0)
+    m = Modem(cfg)
+    rng = np.random.default_rng(bps)
+    info = rng.integers(0, 2, (2, cfg.payload_bits_per_frame), dtype=np.uint8)
+    wav = np.asarray(m.modulate_frames(jnp.asarray(info)))
+    a = cfg.preamble_len - cfg.cp // 4
+    need = (cfg.n_known_symbols + cfg.n_data_symbols) * cfg.symbol_len
+    body = wav[:, a: a + need] + rng.normal(0, 3e-3, (2, need)).astype(np.float32)
+    body = jnp.asarray(body.astype(np.float32))
+
+    llr_x, (_, _, sl_x, cp_x, evm_x) = m._demod_prewindowed(body, use_pallas=False)
+
+    Y = ofdm_demodulate(cfg, body)
+    H, nv = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
+    llr_p, (_, _, sl_p, cp_p, evm_p) = m._fused_eq_demap(
+        Y, H, nv, body.shape[:-1], interpret=True)
+
+    llr_x, llr_p = np.asarray(llr_x), np.asarray(llr_p)
+    # identical hard decisions, near-identical soft values and diagnostics
+    assert np.array_equal(llr_p < 0, llr_x < 0)
+    scale = np.mean(np.abs(llr_x))
+    assert np.max(np.abs(llr_p - llr_x)) < 0.02 * scale + 1e-3
+    assert np.allclose(np.asarray(sl_p), np.asarray(sl_x), atol=1e-4)
+    assert np.allclose(np.asarray(cp_p), np.asarray(cp_x), atol=1e-4)
+    assert np.allclose(np.asarray(evm_p), np.asarray(evm_x), rtol=0.02, atol=1e-6)
+
+
+def test_coded_64qam_roundtrip_e2e():
+    """gf3-turbo (coded 64-QAM) end-to-end through delay + noise, golden and
+    JAX bit-identical (VERDICT r1 item 7)."""
+    import numpy as np
+    from gf3x import GoldenModem, Modem, preset
+    from gf3x.channel import awgn, delay_gain
+
+    cfg = preset("gf3-turbo")
+    assert cfg.bits_per_symbol == 6 and cfg.fec == "ldpc"
+    m, g = Modem(cfg), GoldenModem(cfg)
+    rng = np.random.default_rng(66)
+    payload = bytes(rng.integers(0, 256, 1500, dtype=np.uint8))
+    wav = m.encode(payload, "turbo.bin")
+    rx = awgn(delay_gain(wav.astype(np.float64), 4000, 0.5,
+                         total_len=len(wav) + 9000), 24.0, rng)
+    res = m.decode(rx.astype(np.float32))
+    gres = g.decode(rx)
+    assert res.crc_ok and res.payload == payload
+    assert gres.crc_ok and gres.payload == payload
+    assert np.array_equal(res.bits, gres.bits)

@@ -20,7 +20,7 @@ def _random_config(rng) -> ModemConfig:
     cfg = ModemConfig(
         n_fft=n_fft, cp=cp, bin_lo=lo, bin_hi=lo + n_used - 1,
         pilot_spacing=spacing,
-        bits_per_symbol=int(rng.choice([2, 4])),
+        bits_per_symbol=int(rng.choice([2, 4, 6])),
         n_known_symbols=int(rng.integers(2, 6)),
         n_data_symbols=int(rng.integers(6, 24)),
         chirp_duration=float(rng.uniform(0.02, 0.08)),

@@ -61,3 +61,26 @@ def test_sc_sync_batched(modem):
     for i in range(4):
         r = modem._result(np.asarray(bits[i]), None)
         assert r.crc_ok and r.payload == payloads[i]
+
+
+def test_sc_sync_multipath_low_snr_gf3():
+    """Hardening (VERDICT r1 item 6): the SC plateau timing must survive a
+    room impulse response + low SNR on the full GF3 preset — the same
+    fixture family the chirp path decodes. Probed errors stay within ~40
+    samples of the true onset (inside the cp//4 = 64 backoff budget)."""
+    from gf3x import GF3_STANDARD
+    from gf3x.channel import multipath, room_impulse_response
+
+    m = Modem(GF3_STANDARD)
+    rng = np.random.default_rng(2)
+    payload = bytes(rng.integers(0, 256, 400, dtype=np.uint8))
+    wav = m.encode(payload, "x.bin")
+    for snr, rt60 in ((24.0, 0.0), (15.0, 0.01), (12.0, 0.02)):
+        x = wav.astype(np.float64)
+        if rt60:
+            x = multipath(x, room_impulse_response(rng, rt60=rt60, drr_db=5.0))
+        delay = int(rng.integers(1000, 9000))
+        rx = awgn(delay_gain(x, delay, 0.5, total_len=len(x) + 12000), snr, rng)
+        res = m.decode(rx.astype(np.float32), sync="sc")
+        assert res.crc_ok and res.payload == payload, (snr, rt60)
+        assert abs(int(res.diag.sync_start) - delay) < 64, (snr, rt60)

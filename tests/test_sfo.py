@@ -108,3 +108,21 @@ def test_warped_demod_is_identity_at_zero_delta():
     y0 = np.asarray(ofdm_demodulate(CFG, jnp.asarray(body)))
     y1 = np.asarray(ofdm_demodulate(CFG, jnp.asarray(body), jnp.float32(0.0)))
     assert np.max(np.abs(y0 - y1)) < 1e-3 * np.max(np.abs(y0))
+
+
+def test_decode_stream_auto_sfo_recovers_multiframe():
+    """A 3-frame file transfer through a ±900 ppm soundcard pair: the
+    streaming receiver's 'auto' mode re-decodes the windows through the
+    correction loop and reassembles the file."""
+    from gf3x.models.stream import decode_stream, encode_file
+
+    m = Modem(CFG)
+    rng = np.random.default_rng(31)
+    data = bytes(rng.integers(0, 256, 1400, dtype=np.uint8))
+    wav = encode_file(m, data, "big.bin")
+    x = resample_sfo(np.asarray(wav, np.float64), 900.0)
+    rx = awgn(delay_gain(x, 2500, 0.5, total_len=len(x) + 6000), 18.0, rng)
+    res_off = decode_stream(m, rx.astype(np.float32), sfo="off")
+    assert not res_off.complete          # the loop is load-bearing out here
+    res = decode_stream(m, rx.astype(np.float32))
+    assert res.complete and res.payload == data

@@ -101,3 +101,25 @@ def test_streaming_find_frames_on_long_recording():
     assert np.array_equal(s1, s2) or np.max(np.abs(s1 - s2)) <= 1
     res = decode_stream(m, rx)
     assert res.complete and res.payload == data
+
+
+def test_bounded_decimated_sync_decodes():
+    """Modem(max_delay=...) bounds + decimates the sync correlation (the
+    streaming receiver's case). Onsets resolve within a few samples (early
+    side only — safe: further into the CP) and frames decode."""
+    import jax.numpy as jnp  # noqa: F401
+    from gf3x import GF3_STANDARD, Modem
+    from gf3x.channel import awgn, delay_gain
+
+    m = Modem(GF3_STANDARD, max_delay=4096 + 256)
+    assert m._sync_decimate == 2          # 10 kHz chirp fits fs/4
+    rng = np.random.default_rng(1)
+    payload = bytes(rng.integers(0, 256, 400, dtype=np.uint8))
+    wav = m.encode(payload, "d.bin")
+    for delay in (0, 777, 4000):
+        rx = awgn(delay_gain(wav.astype(np.float64), delay, 0.5,
+                             total_len=len(wav) + 4096), 18.0, rng)
+        res = m.decode(rx.astype(np.float32))
+        err = int(res.diag.sync_start) - delay
+        assert res.crc_ok and res.payload == payload, delay
+        assert -8 <= err <= 2, (delay, err)
