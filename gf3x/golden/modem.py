@@ -261,7 +261,15 @@ class GoldenModem:
         noise_var = float(np.mean(np.abs(resid) ** 2))
         if self.cfg.est_taps:
             from ..ops.chanest import denoise_projection
-            H = denoise_projection(self.cfg).astype(np.complex128) @ H
+            c = self.cfg
+            # delay-recentred projection (twin of gf3x.ops.chanest): shift
+            # the IR to tap est_taps//4 before truncating, undo after
+            k = lay.used_bins.astype(np.float64)
+            a = np.angle(np.sum(H[1:] * np.conj(H[:-1])))
+            r0 = np.round(-a * c.n_fft / (2.0 * np.pi)) - c.est_taps // 4
+            ramp = np.exp(2j * np.pi * k * r0 / c.n_fft)
+            P = denoise_projection(c).astype(np.complex128)
+            H = (P @ (H * ramp)) * np.conj(ramp)
         return H, noise_var
 
     def equalize(self, data_rx: np.ndarray, H: np.ndarray) -> np.ndarray:
@@ -416,9 +424,10 @@ class GoldenModem:
         pilot-slope residual → final warped demod), twin of
         `Modem.demodulate_sfo`.
         """
+        from ..ops.sfo import SLOPE_PPM_RANGE
+
         c = self.cfg
         rx = np.asarray(rx, dtype=np.float64)
-        synced = start is None
         if start is None:
             start, peak_metric = self.find_frame_start(rx)
         else:
@@ -443,13 +452,13 @@ class GoldenModem:
             return self.slope_clock_offset(diag_a["pilot_slope"])
 
         try:
-            if sfo == "on" and synced:
+            if sfo == "on":
                 res = self._finish(*demod(correction_delta()))
             else:
                 res = self._finish(*demod(0.0))
-                if (sfo == "auto" and synced and c.use_schmidl_cox
+                if (sfo == "auto" and c.use_schmidl_cox
                         and (not res.crc_ok
-                             or abs(res.diag["clock_ppm"]) > 350.0)):
+                             or abs(res.diag["clock_ppm"]) > SLOPE_PPM_RANGE)):
                     retry = self._finish(*demod(correction_delta()))
                     if retry.crc_ok or not res.crc_ok:
                         res = retry

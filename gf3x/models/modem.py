@@ -15,6 +15,7 @@ host; everything between waveform in and LLR/bits out runs on device.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import NamedTuple, Optional, Sequence
 
@@ -147,8 +148,10 @@ class Modem:
         """Grid of the coarse frame cut: the ≤ block-sample misalignment is
         derotated post-FFT, so it must fit the CP's timing budget —
         backoff (cp//4) + block ≤ 3·cp//4 leaves cp//4 for channel spread.
-        Capped at 128 (gathered slices of 512 B are already cheap)."""
-        return max(8, min(128, self.cfg.cp // 2))
+        Capped at 128 (gathered slices of 512 B are already cheap); tiny-CP
+        configs get tiny blocks rather than a floor that would overrun the
+        CP."""
+        return max(1, min(128, self.cfg.cp // 2))
 
     def _cut_frame(self, rx: jnp.ndarray, start: jnp.ndarray):
         """Sync position → (body, sc_win or None, roll).
@@ -415,9 +418,11 @@ class Modem:
         )
         return bits, diag
 
-    def demodulate_at(self, rx: jnp.ndarray, start: jnp.ndarray):
+    def demodulate_at(self, rx: jnp.ndarray, start: jnp.ndarray,
+                      sfo_correct: bool = False):
         """Decode with known frame start (loopback paths, BASELINE.json:7)."""
-        return self._demod_synced(rx, start, jnp.float32(jnp.inf))
+        return self._demod_synced(rx, start, jnp.float32(jnp.inf),
+                                  sfo_correct=sfo_correct)
 
     def demodulate(self, rx: jnp.ndarray):
         """Full RX stack (SURVEY.md §4.2): sync → FFT → LS est → EQ → pilot
@@ -445,14 +450,15 @@ class Modem:
             decimate=self._sync_decimate if self.max_delay else 1)
         return self._demod_synced(rx, start, metric, sfo_correct=True)
 
-    def demodulate_sc(self, rx: jnp.ndarray):
+    def demodulate_sc(self, rx: jnp.ndarray, sfo_correct: bool = False):
         """RX stack synced by the Schmidl–Cox plateau instead of the chirp —
         the fallback when the chirp is clipped/filtered/collided
         (BASELINE.json:5: sync by BOTH methods). rx: (..., T)."""
         from ..ops.sync import find_frame_start_sc
 
         start, sc_peak = find_frame_start_sc(self.cfg, rx)
-        bits, diag = self._demod_synced(rx, start, jnp.float32(jnp.nan))
+        bits, diag = self._demod_synced(rx, start, jnp.float32(jnp.nan),
+                                        sfo_correct=sfo_correct)
         return bits, diag._replace(sc_metric=sc_peak.astype(jnp.float32))
 
     @staticmethod
@@ -513,32 +519,42 @@ class Modem:
         sync='sc' uses Schmidl–Cox timing instead of the chirp.
 
         sfo: 'off' | 'auto' | 'on' — the clock-offset correction loop
-        (`demodulate_sfo`). 'auto' (default) retries through it when the
-        plain decode fails CRC or reports |clock_ppm| beyond the plain
-        receiver's reliable range (real soundcard pairs drift 50–200 ppm)."""
+        (see `demodulate_sfo`), honored on every sync path. 'auto'
+        (default) retries through it when the plain decode fails CRC or
+        reports |clock_ppm| beyond the plain receiver's reliable range
+        (real soundcard pairs drift 50–200 ppm)."""
         from ..ops.sfo import SLOPE_PPM_RANGE
 
-        rx = jnp.asarray(np.asarray(rx, dtype=np.float32))
-        if sfo == "on" and start is None and sync == "chirp":
-            if not hasattr(self, "_decode_sfo_jit"):
-                self._decode_sfo_jit = jax.jit(self.demodulate_sfo)
-            bits, diag = self._decode_sfo_jit(rx)
-        elif start is not None:
-            bits, diag = self._decode_at_jit(rx, jnp.int32(start))
-        elif sync == "sc":
-            if not hasattr(self, "_decode_sc_jit"):
-                self._decode_sc_jit = jax.jit(self.demodulate_sc)
-            bits, diag = self._decode_sc_jit(rx)
-        elif sync == "chirp":
-            bits, diag = self._decode_jit(rx)
-        else:
+        if sync not in ("chirp", "sc"):
             raise ValueError(f"unknown sync method {sync!r}; use 'chirp' or 'sc'")
+        rx = jnp.asarray(np.asarray(rx, dtype=np.float32))
+        correct = sfo == "on"
+
+        def jit_of(name, fn):
+            cache = self.__dict__.setdefault("_jit_cache", {})
+            if name not in cache:
+                cache[name] = jax.jit(fn)
+            return cache[name]
+
+        if start is not None:
+            if correct:
+                bits, diag = jit_of("at_sfo", lambda r, st: self.demodulate_at(
+                    r, st, sfo_correct=True))(rx, jnp.int32(start))
+            else:
+                bits, diag = self._decode_at_jit(rx, jnp.int32(start))
+        elif sync == "sc":
+            bits, diag = jit_of(
+                "sc_sfo" if correct else "sc",
+                functools.partial(self.demodulate_sc, sfo_correct=correct))(rx)
+        elif correct:
+            bits, diag = jit_of("sfo", self.demodulate_sfo)(rx)
+        else:
+            bits, diag = self._decode_jit(rx)
         res = self._result(np.asarray(bits), self._host_diag(jax.device_get(diag)))
-        if (sfo == "auto" and start is None and sync == "chirp"
-                and self.cfg.use_schmidl_cox
+        if (sfo == "auto" and self.cfg.use_schmidl_cox
                 and (not res.crc_ok
                      or abs(float(np.max(np.abs(res.diag.clock_ppm)))) > SLOPE_PPM_RANGE)):
-            retry = self.decode(rx, sfo="on")
+            retry = self.decode(rx, start=start, sync=sync, sfo="on")
             if retry.crc_ok or not res.crc_ok:
                 return retry
         return res

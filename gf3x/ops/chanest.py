@@ -69,8 +69,22 @@ def estimate_channel(cfg: ModemConfig, known_rx: jnp.ndarray, delta=None):
     resid = known_rx - H[..., None, :] * X
     noise_var = jnp.mean(jnp.abs(resid) ** 2, axis=(-2, -1))
     if cfg.est_taps:
+        # Recenter the bulk delay before projecting: a window cut s samples
+        # before the impulse response puts the IR at tap s, and taps beyond
+        # est_taps would be TRUNCATED (measured: SC-sync timing error plus
+        # the cp//4 backoff pushed the IR past the window and produced
+        # garbage Ĥ). Estimate s from the adjacent-bin phase slope of Ĥ,
+        # shift the IR to tap est_taps//4 (headroom for fit noise /
+        # pre-cursors), project, shift back — all elementwise + one matmul.
+        k = jnp.arange(cfg.bin_lo, cfg.bin_hi + 1, dtype=jnp.float32)
+        inc = H[..., 1:] * jnp.conj(H[..., :-1])
+        a = jnp.angle(jnp.sum(inc, axis=-1))             # ≈ −2πs/N, (...,)
+        s_hat = jnp.round(-a * np.float32(cfg.n_fft / (2.0 * np.pi)))
+        r0 = (s_hat - cfg.est_taps // 4)[..., None]      # (..., 1)
+        ang = jnp.float32(2.0 * np.pi / cfg.n_fft) * k * r0
+        ramp = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
         P = jnp.asarray(denoise_projection(cfg))
-        H = H @ P.T                      # Ĥ'[j] = Σ_k P[j,k]·Ĥ[k]
+        H = ((H * ramp) @ P.T) * jnp.conj(ramp)          # Ĥ'[j] = Σ_k P[j,k]·Ĥ[k]
     return H, noise_var
 
 

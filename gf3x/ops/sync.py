@@ -22,7 +22,6 @@ __all__ = [
     "matched_filter_spec",
     "streaming_matched_filter",
     "gather_cut",
-    "extract_windows_block",
     "find_frame_start",
     "schmidl_cox_metric",
     "sc_metric_at",
@@ -155,50 +154,29 @@ def gather_cut(rx: jnp.ndarray, starts: jnp.ndarray, need: int,
     """Block-aligned coarse cut: (win (..., nb·block), r (...,)).
 
     `win` starts at floor(start/block)·block — i.e. r = start − win_start ∈
-    [0, block) samples EARLY — and covers ≥ start+need. Whole-block gathers
-    are cheap on TPU (contiguous 512 B slices), and the misalignment r is
-    returned for the consumer to absorb: an OFDM demod folds it into a
-    post-FFT phase ramp (the CP absorbs the window shift), so the exact-cut
-    FFT pair of `extract_windows_block` disappears from the decode path.
+    [0, block) samples EARLY — and covers ≥ start+need. The cut is one
+    contiguous (nb, block) dynamic slice per row over the block axis
+    (measured 1.05 ms at (1024, 47472)→(1024, 32128) vs 3.70 ms for the
+    take_along_axis form and ~109 ms for a per-sample slice), and the
+    misalignment r is returned for the consumer to absorb: an OFDM demod
+    folds it into a post-FFT phase ramp (the CP absorbs the window shift),
+    so no FFT pair is needed in the cut at all (`extract_windows_spec`
+    remains for consumers that need the exact time-domain window).
     """
     *lead, T = rx.shape
     nb = -(-(need + block) // block)
     n_blocks = -(-T // block) + nb
     Tp = n_blocks * block
     rxp = jnp.pad(rx, [(0, 0)] * len(lead) + [(0, Tp - T)])
-    xb = rxp.reshape(*lead, n_blocks, block)
-    q = jnp.clip(starts.astype(jnp.int32) // block, 0, n_blocks - nb)
-    idx = q[..., None] + jnp.arange(nb, dtype=jnp.int32)
-    g = jnp.take_along_axis(xb, idx[..., None], axis=-2)    # (..., nb, block)
+    xb = rxp.reshape(-1, n_blocks, block)
+    sflat = jnp.broadcast_to(starts.astype(jnp.int32), tuple(lead)).reshape(-1)
+    q = jnp.clip(sflat // block, 0, n_blocks - nb)
+    g = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s, 0), (nb, block))
+    )(xb, q)
     win = g.reshape(*lead, nb * block)
-    r = jnp.clip(starts.astype(jnp.int32) - q * block, 0, block - 1)
+    r = jnp.clip(sflat - q * block, 0, block - 1).reshape(tuple(lead))
     return win, r
-
-
-def extract_windows_block(rx: jnp.ndarray, starts: jnp.ndarray, need: int,
-                          block: int = 512) -> jnp.ndarray:
-    """Cut rx[start : start+need] per row, cost INDEPENDENT of T.
-
-    Two stages: a coarse gather of whole `block`-sample chunks (TPU gathers
-    of 2 KB-contiguous slices are cheap, unlike per-element gathers), then
-    the shift-theorem roll (`extract_windows_spec`) for the sub-block
-    residual at F = next_pow2(need + block) — for GF3 geometry F = 32768
-    regardless of recording length, vs a full-recording-sized grid for the
-    spectral path (65536+ and growing with T).
-    """
-    *lead, T = rx.shape
-    nb = -(-(need + block) // block)
-    F = _next_pow2(nb * block)
-    n_blocks = -(-T // block) + nb           # pad so q+nb always in range
-    Tp = n_blocks * block
-    rxp = jnp.pad(rx, [(0, 0)] * len(lead) + [(0, Tp - T)])
-    xb = rxp.reshape(*lead, n_blocks, block)
-    q = jnp.clip(starts.astype(jnp.int32) // block, 0, n_blocks - nb)
-    idx = q[..., None] + jnp.arange(nb, dtype=jnp.int32)
-    g = jnp.take_along_axis(xb, idx[..., None], axis=-2)    # (..., nb, block)
-    win = g.reshape(*lead, nb * block)
-    r = jnp.clip(starts.astype(jnp.int32) - q * block, 0, F - need)
-    return extract_windows_spec(rx_spectrum(win, F), r, need, F)
 
 
 def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray,
@@ -345,8 +323,13 @@ def find_frame_start_sc(cfg: ModemConfig, rx: jnp.ndarray):
     flat_p = peak.reshape(-1)
     center = jax.vmap(refine)(flat_m, flat_p).reshape(peak.shape)
     # plateau center ≈ SC CP midpoint + half the plateau → the SC body start
-    # is ~center + cp/2; chirp onset = body − cp − chirp_len
-    start = center + cfg.cp // 2 - cfg.cp - cfg.chirp_len
+    # is ~center + cp/2; chirp onset = body − cp − chirp_len. The extra
+    # −cp/8 biases the estimate EARLY: plateau smear under multipath/SFO
+    # was measured to push the centre-of-mass up to ~+76 samples late
+    # (past the cp//4 backoff budget, fatal ISI), while early errors only
+    # move the FFT windows deeper into the CP (safe until cp − backoff −
+    # channel spread).
+    start = center + cfg.cp // 2 - cfg.cp - cfg.chirp_len - cfg.cp // 8
     return jnp.maximum(start, 0), peak_val
 
 

@@ -120,26 +120,6 @@ def test_sc_metric_long_recording_no_cancellation():
     assert np.max(far) < 0.5
 
 
-def test_extract_windows_block_matches_direct_slice():
-    """Block-gather + shift-theorem extraction is an exact window cut."""
-    import jax.numpy as jnp
-    from gf3x.ops.sync import extract_windows_block
-
-    rng = np.random.default_rng(21)
-    rx = rng.standard_normal((3, 50_000)).astype(np.float32)
-    starts = np.array([0, 12345, 17_000], dtype=np.int32)
-    need = 31_000
-    W = np.asarray(extract_windows_block(jnp.asarray(rx), jnp.asarray(starts), need))
-    for i, s in enumerate(starts):
-        ref = rx[i, s: s + need]
-        assert np.max(np.abs(W[i] - ref)) < 1e-5, i
-    # starts beyond the valid range clamp instead of wrapping garbage
-    W2 = np.asarray(extract_windows_block(
-        jnp.asarray(rx[:1]), jnp.asarray([49_000], dtype=np.int32), need))
-    assert W2.shape == (1, need)  # smoke: no crash, finite values
-    assert np.isfinite(W2).all()
-
-
 def test_channel_denoise_reduces_estimator_noise():
     """The tap-subspace projection cuts LS Ĥ noise ≈ n_used/taps without
     biasing channels inside the taps (VERDICT r1 item 4)."""

@@ -126,3 +126,30 @@ def test_decode_stream_auto_sfo_recovers_multiframe():
     assert not res_off.complete          # the loop is load-bearing out here
     res = decode_stream(m, rx.astype(np.float32))
     assert res.complete and res.payload == data
+
+
+def test_sfo_on_honored_on_every_sync_path(pair):
+    """Explicit sfo='on' must run the correction loop for sync='sc' and
+    explicit-start decodes too (review r2 finding: it was silently ignored
+    off the chirp path)."""
+    g, m = pair
+    rng = np.random.default_rng(55)
+    payload = bytes(rng.integers(0, 256, 300, dtype=np.uint8))
+    wav = g.encode(payload, "p.bin")
+    ppm = 900.0
+    x = resample_sfo(wav, ppm)
+    delay = 2500
+    rx = awgn(delay_gain(x, delay, 0.6, total_len=len(x) + 7000), 18.0,
+              rng).astype(np.float32)
+    # explicit start (scaled by the resampling), JAX + golden
+    start = int(round(delay / (1 + ppm * 1e-6)))
+    r1 = m.decode(rx, start=start, sfo="on")
+    assert r1.crc_ok and r1.payload == payload
+    rg = g.decode(rx.astype(np.float64), start=start, sfo="on")
+    assert rg.crc_ok and rg.payload == payload
+    # SC-synced path
+    r2 = m.decode(rx, sync="sc", sfo="on")
+    assert r2.crc_ok and r2.payload == payload
+    # and 'auto' now retries on those paths as well
+    r3 = m.decode(rx, sync="sc")
+    assert r3.crc_ok and r3.payload == payload

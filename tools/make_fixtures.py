@@ -69,6 +69,26 @@ def main():
     rx = awgn(delay_gain(x, 3000, 0.5, total_len=len(x) + 8000), 19.0, rng)
     add("gf3_multiframe_sfo.wav", rx, payload, "gf3", "capture2.bin", 3)
 
+    # 4. Robustness capture (round 2): clock offset + spectral notch + a
+    #    destroyed OFDM symbol — pins the SFO loop, CSI-weighted pilot fit,
+    #    per-symbol noise floor, and the v3 interleaver into the
+    #    conformance set
+    rng = np.random.default_rng(104)
+    payload = bytes(rng.integers(0, 256, 520, dtype=np.uint8))
+    g4 = GoldenModem(GF3_STANDARD)
+    wav = g4.encode(payload, "capture4.bin")
+    from scipy.signal import firwin2
+    notch = firwin2(255, [f / 22050 for f in [0, 2400, 2600, 3000, 3400, 3600, 22050]],
+                    [1, 1, 0.02, 0.01, 0.02, 1, 1])
+    x = np.convolve(wav, notch)[: len(wav) + 254]
+    x = resample_sfo(x, 300.0)
+    x = delay_gain(x, 4000, 0.5, total_len=len(x) + 10000)
+    burst_at = 4000 + GF3_STANDARD.preamble_len + 9 * GF3_STANDARD.symbol_len
+    x[burst_at: burst_at + GF3_STANDARD.symbol_len] += (
+        rng.standard_normal(GF3_STANDARD.symbol_len) * 0.5)
+    rx = awgn(x, 16.0, rng)
+    add("gf3_sfo_notch_burst.wav", rx, payload, "gf3", "capture4.bin", 1)
+
     # 3. Uncoded loopback preset, delay+gain only (config 2 shape)
     rng = np.random.default_rng(103)
     payload = bytes(rng.integers(0, 256, 600, dtype=np.uint8))
