@@ -128,11 +128,13 @@ def main():
     rx_dev = jax.device_put(jnp.asarray(np.broadcast_to(rx, (SCAN_BATCHES, B, rx.shape[-1]))))
     jax.device_get(decode_scan(rx_dev))  # compile + full warmup
     jax.device_get(decode_scan(rx_dev))
-    t0 = time.perf_counter()
-    outs = [decode_scan(rx_dev) for _ in range(STEPS)]
-    for o in outs:
-        jax.device_get(o)
-    dt = (time.perf_counter() - t0) / (STEPS * SCAN_BATCHES)
+    from gf3x.utils.profiling import maybe_trace
+    with maybe_trace():  # GF3X_PROFILE=<dir> captures a jax.profiler trace
+        t0 = time.perf_counter()
+        outs = [decode_scan(rx_dev) for _ in range(STEPS)]
+        for o in outs:
+            jax.device_get(o)
+        dt = (time.perf_counter() - t0) / (STEPS * SCAN_BATCHES)
 
     sym_per_step = B * cfg.n_data_symbols
     tpu_sps = sym_per_step / dt

@@ -193,7 +193,9 @@ def cmd_bench(args) -> int:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="gf3x", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
-    ap.add_argument("--preset", default="gf3", help="config preset (gf3 | loopback)")
+    ap.add_argument("--preset", default="gf3",
+                    help="config preset (gf3 | gf3-fast | gf3-turbo | "
+                         "gf3-robust | loopback)")
     ap.add_argument("--qam", type=int, choices=[4, 16, 64], default=None,
                     help="override constellation order")
     ap.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
