@@ -100,6 +100,10 @@ class Modem:
         self._decode_jit = jax.jit(self.demodulate)
         self._decode_at_jit = jax.jit(self.demodulate_at)
         self._decode_win_jit = jax.jit(self.demodulate_prewindowed)
+        # lazy jits for the less-common decode variants (sc, sfo-corrected)
+        # all live here — one caching mechanism (the eager four above are
+        # shared with bench/stream callers)
+        self._jit_cache = {"at": self._decode_at_jit, "chirp": self._decode_jit}
 
     # ------------------------------------------------------ device: transmit
     def fec_encode(self, info_bits: jnp.ndarray) -> jnp.ndarray:
@@ -531,17 +535,16 @@ class Modem:
         correct = sfo == "on"
 
         def jit_of(name, fn):
-            cache = self.__dict__.setdefault("_jit_cache", {})
-            if name not in cache:
-                cache[name] = jax.jit(fn)
-            return cache[name]
+            if name not in self._jit_cache:
+                self._jit_cache[name] = jax.jit(fn)
+            return self._jit_cache[name]
 
         if start is not None:
             if correct:
                 bits, diag = jit_of("at_sfo", lambda r, st: self.demodulate_at(
                     r, st, sfo_correct=True))(rx, jnp.int32(start))
             else:
-                bits, diag = self._decode_at_jit(rx, jnp.int32(start))
+                bits, diag = jit_of("at", self.demodulate_at)(rx, jnp.int32(start))
         elif sync == "sc":
             bits, diag = jit_of(
                 "sc_sfo" if correct else "sc",
@@ -549,7 +552,7 @@ class Modem:
         elif correct:
             bits, diag = jit_of("sfo", self.demodulate_sfo)(rx)
         else:
-            bits, diag = self._decode_jit(rx)
+            bits, diag = jit_of("chirp", self.demodulate)(rx)
         res = self._result(np.asarray(bits), self._host_diag(jax.device_get(diag)))
         if (sfo == "auto" and self.cfg.use_schmidl_cox
                 and (not res.crc_ok

@@ -303,10 +303,10 @@ def decode_stream(modem: Modem, rx: np.ndarray, threshold: float = 0.4,
         # windows are already cut at the chirp onset → static-slice decode
         # path (no full-recording FFTs)
         if correct:
-            if not hasattr(modem, "_decode_win_sfo_jit"):
-                modem._decode_win_sfo_jit = jax.jit(
+            if "win_sfo" not in modem._jit_cache:
+                modem._jit_cache["win_sfo"] = jax.jit(
                     lambda w: modem.demodulate_prewindowed(w, sfo_correct=True))
-            bits, diag = modem._decode_win_sfo_jit(jnp.asarray(windows))
+            bits, diag = modem._jit_cache["win_sfo"](jnp.asarray(windows))
         else:
             bits, diag = modem._decode_win_jit(jnp.asarray(windows))
         bits = np.asarray(bits)

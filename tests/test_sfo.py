@@ -153,3 +153,20 @@ def test_sfo_on_honored_on_every_sync_path(pair):
     # and 'auto' now retries on those paths as well
     r3 = m.decode(rx, sync="sc")
     assert r3.crc_ok and r3.payload == payload
+
+
+def test_sc_sfo_decode_across_block_grid_phases(pair):
+    """The SC-synced correction path at adversarial gather_cut roll phases:
+    the SC estimation window can sit up to ~95 samples early (block roll +
+    the −cp/8 SC timing bias), which the guarded halves + the SC symbol's
+    own CP must absorb. Sweep delays that land on different roll values."""
+    g, m = pair
+    rng = np.random.default_rng(77)
+    payload = bytes(rng.integers(0, 256, 300, dtype=np.uint8))
+    wav = g.encode(payload, "p.bin")
+    x = resample_sfo(wav, 700.0)
+    for delay in (2500, 2560, 2590, 2620, 2495):   # spans roll ∈ [0, 128)
+        rx = awgn(delay_gain(x, delay, 0.6, total_len=len(x) + 7000), 18.0,
+                  rng).astype(np.float32)
+        r = m.decode(rx, sync="sc", sfo="on")
+        assert r.crc_ok and r.payload == payload, delay

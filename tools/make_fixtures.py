@@ -83,9 +83,14 @@ def main():
     x = np.convolve(wav, notch)[: len(wav) + 254]
     x = resample_sfo(x, 300.0)
     x = delay_gain(x, 4000, 0.5, total_len=len(x) + 10000)
-    burst_at = 4000 + GF3_STANDARD.preamble_len + 9 * GF3_STANDARD.symbol_len
-    x[burst_at: burst_at + GF3_STANDARD.symbol_len] += (
-        rng.standard_normal(GF3_STANDARD.symbol_len) * 0.5)
+    # burst position on the RECEIVED timeline: frame start = 4000 + the
+    # notch FIR's 127-sample group delay, positions compressed by the
+    # +300 ppm resample; a 2-symbol-long burst guarantees at least one
+    # data symbol is fully destroyed
+    c = GF3_STANDARD
+    burst_at = 4000 + round((127 + c.preamble_len + 9 * c.symbol_len) / 1.0003)
+    x[burst_at: burst_at + 2 * c.symbol_len] += (
+        rng.standard_normal(2 * c.symbol_len) * 0.5)
     rx = awgn(x, 16.0, rng)
     add("gf3_sfo_notch_burst.wav", rx, payload, "gf3", "capture4.bin", 1)
 
