@@ -23,6 +23,7 @@ from .modem import DecodeResult, Modem
 
 __all__ = [
     "encode_file", "encode_frames", "find_frames", "find_frames_device", "decode_stream",
+    "decode_stream_windows", "StreamingReceiver",
     "merge_streams", "StreamResult", "frame_capacity",
 ]
 
@@ -278,8 +279,6 @@ def decode_stream(modem: Modem, rx: np.ndarray, threshold: float = 0.4,
     fails CRC or reports a clock offset beyond the plain receiver's range
     (one shared soundcard pair per recording is assumed).
     """
-    from ..ops.sfo import SLOPE_PPM_RANGE
-
     cfg = modem.cfg
     rx32 = np.asarray(rx, dtype=np.float32)
     if rx32.size > 1_000_000:
@@ -297,11 +296,95 @@ def decode_stream(modem: Modem, rx: np.ndarray, threshold: float = 0.4,
 
     pad = np.zeros(cfg.frame_len, dtype=np.float32)
     rx_pad = np.concatenate([rx32, pad])
+    # windows are already cut at the chirp onset → static-slice decode path
+    # (no full-recording FFTs)
     windows = np.stack([rx_pad[s: s + cfg.frame_len] for s in starts])
+    results = decode_stream_windows(modem, windows, sfo)
+    return merge_streams(StreamResult(payload=None, filename="", complete=False,
+                                      frames=results, starts=starts))
 
-    def decode_windows(correct: bool) -> list[DecodeResult]:
-        # windows are already cut at the chirp onset → static-slice decode
-        # path (no full-recording FFTs)
+
+class StreamingReceiver:
+    """Stateful chunked receiver: `feed()` audio as it arrives (a sound-card
+    callback, a socket, a growing file); frames decode as soon as their
+    samples are complete, and the carried state stays O(frame_len)
+    regardless of stream length (SURVEY.md §6.7 long-context streaming —
+    the live-capture counterpart of `decode_stream`).
+
+    >>> rcv = StreamingReceiver(modem)
+    >>> for chunk in audio_source:          # any chunk sizes
+    ...     for res in rcv.feed(chunk):     # DecodeResults as they complete
+    ...         print(res.seq, res.crc_ok)
+    >>> final = rcv.result()                # merged StreamResult
+
+    Internals: the rolling buffer is padded up to a coarse length bucket so
+    the jitted matched filter compiles for only a handful of shapes; decoded
+    frame onsets are tracked in absolute stream position so overlapping
+    detection windows never decode a frame twice.
+    """
+
+    #: detection buffers round up to a multiple of this (few jit signatures)
+    _BUCKET = 8192
+
+    def __init__(self, modem: Modem, threshold: float = 0.4,
+                 sfo: str = "auto"):
+        self.modem = modem
+        self.threshold = threshold
+        self.sfo = sfo
+        self._buf = np.zeros(0, dtype=np.float32)
+        self._pos = 0                       # absolute index of _buf[0]
+        self._frames: list[DecodeResult] = []
+        self._taken: list[int] = []         # absolute onsets already decoded
+
+    def feed(self, chunk: np.ndarray) -> list[DecodeResult]:
+        """Append samples; return DecodeResults for frames completed by them."""
+        cfg = self.modem.cfg
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(chunk, dtype=np.float32).ravel()])
+        pad = (-len(self._buf)) % self._BUCKET
+        det = np.pad(self._buf, (0, pad)) if pad else self._buf
+        starts, _ = find_frames(self.modem, det, threshold=self.threshold)
+        min_sep = cfg.frame_len // 2
+        fresh = [
+            int(s) for s in starts
+            if s + cfg.frame_len <= len(self._buf)             # fully arrived
+            and all(abs(s + self._pos - t) >= min_sep for t in self._taken)
+        ]
+        out: list[DecodeResult] = []
+        if fresh:
+            windows = np.stack(
+                [self._buf[s: s + cfg.frame_len] for s in fresh])
+            res = decode_stream_windows(self.modem, windows, self.sfo)
+            for s, r in zip(fresh, res):
+                self._taken.append(s + self._pos)
+                out.append(r)
+            self._frames.extend(out)
+        # retain only what a future frame could still need: a chirp whose
+        # frame is not yet complete can begin at most frame_len-1 samples
+        # before the buffer end
+        keep = min(len(self._buf), cfg.frame_len + cfg.chirp_len)
+        drop = len(self._buf) - keep
+        if drop > 0:
+            self._buf = self._buf[drop:]
+            self._pos += drop
+        return out
+
+    def result(self) -> StreamResult:
+        """Merged view of everything decoded so far (reassembles the file
+        once every seq 0..total−1 has arrived with CRC ok)."""
+        starts = np.asarray(sorted(self._taken), dtype=np.int64)
+        return merge_streams(StreamResult(
+            payload=None, filename="", complete=False,
+            frames=list(self._frames), starts=starts))
+
+
+def decode_stream_windows(modem: Modem, windows: np.ndarray,
+                          sfo: str = "auto") -> list[DecodeResult]:
+    """Decode already-cut frame windows (B, frame_len) with the same
+    sfo-'auto' retry policy as `decode_stream`."""
+    from ..ops.sfo import SLOPE_PPM_RANGE
+
+    def run(correct: bool):
         if correct:
             if "win_sfo" not in modem._jit_cache:
                 modem._jit_cache["win_sfo"] = jax.jit(
@@ -313,18 +396,15 @@ def decode_stream(modem: Modem, rx: np.ndarray, threshold: float = 0.4,
         diag = Modem._host_diag(jax.device_get(diag))
         return [
             modem._result(bits[i], jax.tree.map(lambda x, i=i: x[i], diag))
-            for i in range(len(starts))
+            for i in range(windows.shape[0])
         ]
 
-    results = decode_windows(sfo == "on")
-    if (sfo == "auto" and cfg.use_schmidl_cox
+    results = run(sfo == "on")
+    if (sfo == "auto" and modem.cfg.use_schmidl_cox
             and any(not r.crc_ok
                     or abs(float(np.asarray(r.diag.clock_ppm))) > SLOPE_PPM_RANGE
                     for r in results)):
-        retry = decode_windows(True)
-        # keep whichever decode validated, per frame
+        retry = run(True)
         results = [rt if rt.crc_ok or not r0.crc_ok else r0
                    for r0, rt in zip(results, retry)]
-
-    return merge_streams(StreamResult(payload=None, filename="", complete=False,
-                                      frames=results, starts=starts))
+    return results

@@ -84,3 +84,37 @@ def test_cli_transmit_receive_roundtrip(tmp_path):
     outdir = tmp_path / "out"
     assert main(["--preset", "gf3", "receive", str(wav_path), "-o", str(outdir)]) == 0
     assert (outdir / "doc.bin").read_bytes() == f.read_bytes()
+
+
+def test_streaming_receiver_incremental(modem):
+    """StreamingReceiver: feed a multi-frame transfer in odd-sized chunks;
+    frames surface as their samples complete, state stays O(frame_len),
+    and the final result reassembles the file (SURVEY.md §6.7)."""
+    from gf3x.models.stream import StreamingReceiver, encode_file, frame_capacity
+
+    rng = np.random.default_rng(17)
+    cap = frame_capacity(modem, "inc.bin")
+    data = bytes(rng.integers(0, 256, 3 * cap + 123, dtype=np.uint8))
+    n_frames = -(-len(data) // cap)
+    wav = encode_file(modem, data, "inc.bin")
+    rx = awgn(delay_gain(wav.astype(np.float64), 3000,
+                         0.5, total_len=len(wav) + 8000), 20.0, rng)
+
+    rcv = StreamingReceiver(modem)
+    seen = []
+    pos, sizes = 0, [13_000, 47_111, 30_000, 61_013]
+    i = 0
+    while pos < len(rx):
+        n = sizes[i % len(sizes)]
+        seen += rcv.feed(rx[pos: pos + n])
+        pos += n
+        i += 1
+        # buffer never grows beyond one frame + chirp of carry-over
+        assert rcv._buf.size <= modem.cfg.frame_len + modem.cfg.chirp_len + n
+    assert len(seen) == n_frames and all(r.crc_ok for r in seen)
+    assert sorted(r.seq for r in seen) == list(range(n_frames))
+    res = rcv.result()
+    assert res.complete and res.payload == data
+
+    # feeding unrelated noise afterwards must not re-detect old frames
+    assert rcv.feed(rng.normal(size=50_000).astype(np.float32) * 0.01) == []
