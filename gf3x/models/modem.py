@@ -357,8 +357,11 @@ class Modem:
         `roll` derotates a block-grid cut misalignment (gather_cut)."""
         cfg = self.cfg
         if use_pallas is None:
+            from ..ops.pallas.fused_eq import fused_shapes_ok
             from ..utils.device import computation_on_tpu
-            use_pallas = computation_on_tpu() and cfg.strided_pilots
+            B = int(np.prod(body.shape[:-1])) if body.ndim > 1 else 1
+            use_pallas = (computation_on_tpu() and cfg.strided_pilots
+                          and fused_shapes_ok(cfg, B))
         if use_pallas:
             Y = self._deroll(ofdm_demodulate(cfg, body, delta), roll)
             H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :], delta)

@@ -109,7 +109,11 @@ def ofdm_demodulate(cfg: ModemConfig, samples: jnp.ndarray,
         C, Sm = _dft_tables(cfg)
         inv = jnp.float32(1.0 / cfg.ofdm_scale)
         xr = sym.astype(jnp.float32)
-        hi = jax.lax.Precision.HIGHEST  # TPU default = one bf16 pass (−45 dB)
+        # HIGH (bf16x3, ~1e-5 rel = −100 dB) halves the matmul passes of
+        # HIGHEST (bf16x6): the demod error floor stays ≥60 dB under the
+        # noise of even a 35 dB-SNR capture. (TPU default would be one bf16
+        # pass at −45 dB — NOT acceptable for a demod that feeds LLRs.)
+        hi = jax.lax.Precision.HIGH
         re = jnp.matmul(xr, jnp.asarray(C), precision=hi,
                         preferred_element_type=jnp.float32) * inv
         im = -jnp.matmul(xr, jnp.asarray(Sm), precision=hi,

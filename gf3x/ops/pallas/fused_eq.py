@@ -31,9 +31,29 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import ModemConfig, layout
 from ..constellation import pam_label_levels, qam_norm
 
-__all__ = ["fused_eq_demap_tpu", "LANES"]
+__all__ = ["fused_eq_demap_tpu", "fused_shapes_ok", "LANES"]
 
 LANES = 128
+
+
+def fused_shapes_ok(cfg: ModemConfig, B: int) -> bool:
+    """Whether the fused kernel is safe + worthwhile at batch B.
+
+    XLA places a custom call's whole operand/result buffers in scoped VMEM
+    when they fit under its 16 MB limit; a 64-QAM LLR output at one padded
+    lane block (D=20 × 1472 bits × 128 lanes × 4 B ≈ 15 MB) fits alone but
+    OOMs combined with the inputs. Keep the kernel only when the result is
+    either comfortably small (everything fits with room) or clearly
+    HBM-sized; the window between routes to the XLA twin — which is also
+    the faster path at tiny batches, where padding to 128 lanes wastes
+    almost the whole kernel.
+    """
+    Bp = -(-B // LANES) * LANES
+    LP = -(-cfg.n_data_bins * cfg.bits_per_symbol // 8) * 8
+    out_bytes = cfg.n_data_symbols * (LP + 8) * Bp * 4
+    in_bytes = cfg.n_data_symbols * 2 * cfg.n_used * Bp * 4
+    tot = out_bytes + in_bytes
+    return tot <= (6 << 20) or out_bytes >= (24 << 20)
 
 
 def _atan2(y, x):

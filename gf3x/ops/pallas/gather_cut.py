@@ -1,0 +1,163 @@
+"""Pallas TPU kernels: block-aligned per-row window cut of a recording batch.
+
+The receive path cuts one frame window per recording row at a data-dependent
+(but block-aligned) offset. The XLA formulation — a vmap'd `dynamic_slice`
+over a (rows, n_blocks, block) view — measured 3.15 ms for a
+(1024, 47k) → (1024, 32k) cut on a v5e (~40 GB/s effective): on the 2-D
+(B, T) HBM layout every (8, 128) tile interleaves 8 batch rows, so a one-row
+window forces 8× the bytes through HBM; per-row DMA variants bottom out at
+~160 GB/s on DMA-issue overhead (one descriptor per row).
+
+`gather_cut_group_tpu` (the fast path, B % 8 == 0 and the recording fits
+VMEM staging): each grid step DMAs one WHOLE 8-row group — a tile-aligned
+(8, Tp) slice of the 2-D layout, so every input byte moves exactly once —
+into a VMEM staging buffer (double-buffered so the next group's DMA flies
+while this one extracts), then copies each row's window out of staging with
+a dynamic but 128-lane-aligned slice (q·block is a lane multiple; static
+sublane index, so the copy is plain vector loads). Output blocks are
+auto-pipelined back to HBM.
+
+`gather_cut_tpu` (fallback: odd batch sizes, or recordings too long to
+stage): one DMA per row on the (B, n_blocks, block) tile view, slice shape
+(1, K, block) — legal for any dynamic block offset as long as K is a
+multiple of the 8-sublane tile. A rolling window keeps transfers in flight.
+
+Scalar-prefetched `q` (the per-row block index) is available before the body
+runs, which is exactly what computing DMA addresses needs
+(PrefetchScalarGridSpec pattern).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["gather_cut_tpu", "gather_cut_group_tpu", "MAX_STAGE_BYTES"]
+
+_INFLIGHT = 16            # rolling DMA window depth (per-row kernel)
+MAX_STAGE_BYTES = 4 << 20  # staging budget: 2 slots × 8 rows × Tp × 4 B
+
+
+def _group_kernel(q_ref, rxp_ref, out_ref, s0, s1, sem0, sem1,
+                  *, block: int, L: int):
+    g = pl.program_id(0)
+    G = pl.num_programs(0)
+
+    def dma(gg, sref, sem):
+        return pltpu.make_async_copy(
+            rxp_ref.at[pl.ds(gg * 8, 8), :], sref, sem)
+
+    @pl.when(g == 0)
+    def _():
+        dma(0, s0, sem0).start()
+
+    even = jax.lax.rem(g, 2) == 0
+
+    @pl.when((g + 1 < G) & even)
+    def _():
+        dma(g + 1, s1, sem1).start()
+
+    @pl.when((g + 1 < G) & jnp.logical_not(even))
+    def _():
+        dma(g + 1, s0, sem0).start()
+
+    def extract(sref, sem):
+        dma(g, sref, sem).wait()
+        for r in range(8):
+            off = pl.multiple_of(q_ref[g * 8 + r] * block, block)
+            out_ref[r, :] = sref[r, pl.ds(off, L)]
+
+    @pl.when(even)
+    def _():
+        extract(s0, sem0)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        extract(s1, sem1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def gather_cut_group_tpu(rxp: jnp.ndarray, q: jnp.ndarray, block: int,
+                         nb: int, interpret: bool = False) -> jnp.ndarray:
+    """rxp: (B, Tp) f32 with B % 8 == 0, Tp % block == 0; q: (B,) int32 with
+    (q + nb)·block ≤ Tp (caller clips) → (B, nb·block) f32 windows
+    rxp[i, q[i]·block : (q[i]+nb)·block]."""
+    B, Tp = rxp.shape
+    L = nb * block
+    assert B % 8 == 0 and Tp % block == 0 and L <= Tp
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // 8,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((8, L), lambda g, *_: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, Tp), jnp.float32),
+            pltpu.VMEM((8, Tp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_group_kernel, block=block, L=L),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, L), jnp.float32),
+        interpret=interpret,
+    )(q.astype(jnp.int32), rxp)
+
+
+def _row_kernel(q_ref, rx_ref, out_ref, sems, *, B: int, K: int):
+    W = min(_INFLIGHT, B)
+
+    def dma(row):
+        return pltpu.make_async_copy(
+            rx_ref.at[row, pl.ds(q_ref[row], K), :],
+            out_ref.at[row, :, :],
+            sems.at[row % W],
+        )
+
+    # rolling window: W transfers stay in flight; waiting row i frees sem
+    # slot i % W, which row i+W then reuses
+    for r in range(W):
+        dma(r).start()
+
+    def body(i, carry):
+        dma(i).wait()
+
+        @pl.when(i + W < B)
+        def _():
+            dma(i + W).start()
+
+        return carry
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def gather_cut_tpu(rxb: jnp.ndarray, q: jnp.ndarray, K: int,
+                   interpret: bool = False) -> jnp.ndarray:
+    """rxb: (B, n_blocks, block) f32, q: (B,) int32 with q + K ≤ n_blocks
+    (caller clips) → (B, K, block) f32 = rxb[i, q[i]:q[i]+K].
+
+    K must be a multiple of 8 (the f32 sublane tile): the DMA slice shape
+    (1, K, block) must be tile-aligned; the per-row offset q need not be.
+    """
+    B, n_blocks, block = rxb.shape
+    assert K % 8 == 0 and K <= n_blocks, (K, n_blocks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((min(_INFLIGHT, B),))],
+    )
+    return pl.pallas_call(
+        functools.partial(_row_kernel, B=B, K=K),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, K, block), jnp.float32),
+        interpret=interpret,
+    )(q.astype(jnp.int32), rxb)

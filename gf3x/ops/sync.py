@@ -78,15 +78,20 @@ def matched_filter_spec(R: jnp.ndarray, chirp: np.ndarray, T: int, nfft: int) ->
     return M[..., :T].astype(jnp.float32)
 
 
-def matched_filter(rx: jnp.ndarray, chirp: np.ndarray) -> jnp.ndarray:
+def matched_filter(rx: jnp.ndarray, chirp: np.ndarray,
+                   nfft: int | None = None) -> jnp.ndarray:
     """m[n] = Σ_i rx[n+i]·c[i] via FFT cross-correlation (SURVEY.md Appendix).
 
     rx: (..., T) float32; chirp: host constant. Returns (..., T) float32.
-    The FFT length is a static power of two ≥ T+len(chirp) (linear, not
-    circular, correlation).
+    The default FFT length is a static power of two ≥ T+len(chirp) (linear,
+    not circular, correlation at every lag). An explicit smaller `nfft`
+    (≥ T) halves the transforms when the caller only reads lags
+    n ≤ nfft − len(chirp) — beyond that the circular wraparound corrupts
+    the tail (the bounded-search sync path's case).
     """
     T = rx.shape[-1]
-    nfft = sync_nfft(T, len(chirp))
+    if nfft is None:
+        nfft = sync_nfft(T, len(chirp))
     return matched_filter_spec(rx_spectrum(rx, nfft), chirp, T, nfft)
 
 
@@ -163,20 +168,50 @@ def gather_cut(rx: jnp.ndarray, starts: jnp.ndarray, need: int,
     so no FFT pair is needed in the cut at all (`extract_windows_spec`
     remains for consumers that need the exact time-domain window).
     """
+    from ..utils.device import computation_on_tpu
+
     *lead, T = rx.shape
+    B = int(np.prod(lead)) if lead else 1
+    # round the window up to a multiple of 8 blocks: the TPU kernels' DMA
+    # slice shapes must be sublane-tile-aligned (consumers slice fixed
+    # subranges out of `win`, so the wider cut is free); the XLA fallback
+    # matches so all paths return identical shapes/values. The recording is
+    # padded 16 blocks past its end — a window whose start lies within
+    # nb − 16 blocks of the end clips correspondingly earlier (every modem
+    # decode path bounds the cut to start + need ≤ T, so this is a safety
+    # net, not a reachable case).
     nb = -(-(need + block) // block)
-    n_blocks = -(-T // block) + nb
+    nb = -(-nb // 8) * 8
+    n_blocks = max(-(-T // block) + 16, nb)
     Tp = n_blocks * block
-    rxp = jnp.pad(rx, [(0, 0)] * len(lead) + [(0, Tp - T)])
-    xb = rxp.reshape(-1, n_blocks, block)
+    rxp = jnp.pad(rx, [(0, 0)] * len(lead) + [(0, Tp - T)]).reshape(-1, Tp)
     sflat = jnp.broadcast_to(starts.astype(jnp.int32), tuple(lead)).reshape(-1)
     q = jnp.clip(sflat // block, 0, n_blocks - nb)
-    g = jax.vmap(
-        lambda row, s: jax.lax.dynamic_slice(row, (s, 0), (nb, block))
-    )(xb, q)
+    on_tpu = computation_on_tpu()
+    if on_tpu and B % 8 == 0 and 2 * 8 * Tp * 4 <= _pallas_stage_bytes():
+        # whole-8-row-group DMA through VMEM staging + lane-aligned
+        # extraction: every input byte moves once (~4× the XLA form)
+        from .pallas.gather_cut import gather_cut_group_tpu
+        g = gather_cut_group_tpu(rxp, q, block, nb)
+    elif on_tpu:
+        # one contiguous per-row DMA on the (B, n_blocks, block) tile view
+        # (~2× the vmap'd dynamic_slice below, which pays the 2-D layout's
+        # 8-row tile interleave — see ops/pallas/gather_cut.py)
+        from .pallas.gather_cut import gather_cut_tpu
+        g = gather_cut_tpu(rxp.reshape(-1, n_blocks, block), q, nb)
+    else:
+        xb = rxp.reshape(-1, n_blocks, block)
+        g = jax.vmap(
+            lambda row, s: jax.lax.dynamic_slice(row, (s, 0), (nb, block))
+        )(xb, q)
     win = g.reshape(*lead, nb * block)
     r = jnp.clip(sflat - q * block, 0, block - 1).reshape(tuple(lead))
     return win, r
+
+
+def _pallas_stage_bytes() -> int:
+    from .pallas.gather_cut import MAX_STAGE_BYTES
+    return MAX_STAGE_BYTES
 
 
 def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray,
@@ -204,49 +239,49 @@ def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray,
         seg = rx[..., : min(S + len(chirp), rx.shape[-1])]
         if decimate > 1:
             seg = seg[..., ::decimate]
-            mabs_d = jnp.abs(matched_filter(seg, chirp[::decimate]))
-            mabs_d = mabs_d[..., : S // decimate]
+            c_d = chirp[::decimate]
+            # only lags < S/decimate are candidates, so the correlation FFT
+            # needs next_pow2(max(len(seg), n_lags + len(chirp))) — lags up
+            # to F − len(chirp) are wraparound-free. In the streaming case
+            # (seg = S + chirp) that is next_pow2(len(seg)): HALF the
+            # general linear-correlation length next_pow2(T + chirp).
+            n_lags = min(S // decimate, seg.shape[-1])
+            F = _next_pow2(max(seg.shape[-1], n_lags + len(c_d)))
+            mabs_d = jnp.abs(matched_filter(seg, c_d, nfft=F))[..., :n_lags]
             peak = jnp.argmax(mabs_d, axis=-1).astype(jnp.int32)
-            peak_val = jnp.take_along_axis(mabs_d, peak[..., None], axis=-1)[..., 0]
-            W = cfg.cp // decimate + 1
-
-            def refine_d(mrow, p, pv):
-                base = jnp.maximum(p - cfg.cp // decimate, 0)
-                win = jax.lax.dynamic_slice(mrow, (base,), (W,))
-                idx = jnp.arange(W, dtype=jnp.int32)
-                valid = (win >= 0.5 * pv) & (base + idx <= p)
-                first = jnp.argmax(valid).astype(jnp.int32)
-                return base + first
-
-            flat_m = mabs_d.reshape(-1, mabs_d.shape[-1])
-            start = jax.vmap(refine_d)(flat_m, peak.reshape(-1),
-                                       peak_val.reshape(-1)).reshape(peak.shape)
+            peak_val = jnp.max(mabs_d, axis=-1)
+            start = _first_arrival(mabs_d, peak, peak_val,
+                                   cfg.cp // decimate)
             metric = peak_val / (jnp.mean(mabs_d, axis=-1) + 1e-12)
             return (decimate * start).astype(jnp.int32), metric
-        mabs = jnp.abs(matched_filter(seg, chirp))[..., :S]
+        n_lags = min(S, seg.shape[-1])
+        F = _next_pow2(max(seg.shape[-1], n_lags + len(chirp)))
+        mabs = jnp.abs(matched_filter(seg, chirp, nfft=F))[..., :n_lags]
     elif R is not None:
         mabs = jnp.abs(matched_filter_spec(R, chirp, rx.shape[-1], nfft))
     else:
         mabs = jnp.abs(matched_filter(rx, chirp))
     peak = jnp.argmax(mabs, axis=-1).astype(jnp.int32)
-    peak_val = jnp.take_along_axis(mabs, peak[..., None], axis=-1)[..., 0]
-
-    W = cfg.cp + 1
-
-    def refine(mrow, p, pv):
-        base = jnp.maximum(p - cfg.cp, 0)
-        win = jax.lax.dynamic_slice(mrow, (base,), (W,))
-        idx = jnp.arange(W, dtype=jnp.int32)
-        valid = (win >= 0.5 * pv) & (base + idx <= p)
-        first = jnp.argmax(valid).astype(jnp.int32)  # first True
-        return base + first
-
-    flat_m = mabs.reshape(-1, mabs.shape[-1])
-    flat_p = peak.reshape(-1)
-    flat_v = peak_val.reshape(-1)
-    start = jax.vmap(refine)(flat_m, flat_p, flat_v).reshape(peak.shape)
+    peak_val = jnp.max(mabs, axis=-1)
+    start = _first_arrival(mabs, peak, peak_val, cfg.cp)
     metric = peak_val / (jnp.mean(mabs, axis=-1) + 1e-12)
     return start, metric
+
+
+def _first_arrival(mabs: jnp.ndarray, peak: jnp.ndarray,
+                   peak_val: jnp.ndarray, back: int) -> jnp.ndarray:
+    """Earliest tap within 6 dB of the peak in the `back`-wide window before
+    it (multipath: the strongest correlation tap can be a reflection).
+
+    One masked argmax over the full correlation — argmax returns the FIRST
+    True. The per-row W-window `dynamic_slice` this replaces lowered to a
+    per-element gather (~1 ms at batch 1024 for W=129); this is a fused
+    elementwise pass over data the peak search already touched."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, mabs.shape, mabs.ndim - 1)
+    p = peak[..., None]
+    valid = ((mabs >= 0.5 * peak_val[..., None])
+             & (idx >= p - back) & (idx <= p))
+    return jnp.argmax(valid, axis=-1).astype(jnp.int32)
 
 
 #: Above this length the prefix-sum form of the SC metric switches to the

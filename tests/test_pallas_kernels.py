@@ -95,3 +95,50 @@ def test_coded_64qam_roundtrip_e2e():
     assert res.crc_ok and res.payload == payload
     assert gres.crc_ok and gres.payload == payload
     assert np.array_equal(res.bits, gres.bits)
+
+
+@pytest.mark.parametrize("B", [8, 16])
+def test_gather_cut_kernels_match_xla(B):
+    """Both gather-cut DMA kernels (group-staged and per-row) return exactly
+    the XLA fallback's windows for random block-aligned offsets, including
+    rolls at every phase and windows clipped at the recording edge."""
+    import jax
+
+    from gf3x.ops.pallas.gather_cut import gather_cut_group_tpu, gather_cut_tpu
+
+    rng = np.random.default_rng(B)
+    block, need, T = 128, 3000, 20000
+    nb = -(-(need + block) // block)
+    nb = -(-nb // 8) * 8
+    n_blocks = max(-(-T // block) + 16, nb)
+    Tp = n_blocks * block
+    rx = rng.standard_normal((B, T)).astype(np.float32)
+    rxp = np.pad(rx, ((0, 0), (0, Tp - T)))
+    starts = np.concatenate([
+        rng.integers(0, T - need, B - 2),
+        [0, T - need],                       # edges
+    ]).astype(np.int32)
+    q = np.clip(starts // block, 0, n_blocks - nb)
+    ref = np.stack([rxp[i, q[i] * block: (q[i] + nb) * block]
+                    for i in range(B)])
+
+    g = gather_cut_group_tpu(jnp.asarray(rxp), jnp.asarray(q), block, nb,
+                             True)
+    assert np.array_equal(np.asarray(g), ref)
+
+    r = gather_cut_tpu(jnp.asarray(rxp).reshape(B, n_blocks, block),
+                       jnp.asarray(q), nb, True)
+    assert np.array_equal(np.asarray(r).reshape(B, nb * block), ref)
+
+
+def test_fused_shapes_ok_routing():
+    """The VMEM-placement guard keeps the fused kernel off the shapes XLA
+    would scope into VMEM and blow the 16 MB limit (64-QAM at one padded
+    lane block), while keeping it for the bench shapes."""
+    from gf3x import GF3_STANDARD, preset
+    from gf3x.ops.pallas.fused_eq import fused_shapes_ok
+
+    assert fused_shapes_ok(GF3_STANDARD, 1024)        # bench: clearly HBM
+    assert not fused_shapes_ok(preset("gf3-turbo"), 1)   # the OOM shape
+    assert not fused_shapes_ok(preset("gf3-turbo"), 128)
+    assert fused_shapes_ok(preset("gf3-turbo"), 1024)
