@@ -47,14 +47,17 @@ def build_batch(modem, B: int, margin: int, rng) -> tuple[np.ndarray, bytes, np.
     return rx, payload, delays
 
 
-def golden_symbols_per_sec(cfg, rx: np.ndarray, n_frames: int = 10) -> float:
+def golden_symbols_per_sec(cfg, rx: np.ndarray, n_frames: int = 20) -> float:
     """Reference-path demod throughput: golden float64 NumPy decode on CPU.
 
-    Median of per-frame times over `n_frames` frames — the round-1 value was
-    measured on 2 frames (~86 ms of work) and inherited ~±10% jitter."""
+    3 warmup decodes, then the median over `n_frames` — single decodes on
+    this shared box scatter 7–43 ms for a ~10.6 ms median, so a small-sample
+    timing swung the reported ratio ~3× between otherwise identical runs."""
     from gf3x import GoldenModem
 
     golden = GoldenModem(cfg)
+    for i in range(3):
+        golden.decode(rx[i % rx.shape[0]].astype(np.float64))
     times = []
     for i in range(n_frames):
         t0 = time.perf_counter()

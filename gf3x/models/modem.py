@@ -167,14 +167,20 @@ class Modem:
         timing backoff), so the demod corrects it with one post-FFT phase
         ramp, and the SC metric/clock estimators tolerate it via guarded
         half-windows."""
-        from ..ops.sync import gather_cut
+        from ..ops.sync import gather_cut, max_cut_start
 
         cfg = self.cfg
         T = rx.shape[-1]
         need = (cfg.n_known_symbols + cfg.n_data_symbols) * cfg.symbol_len
         backoff = cfg.cp // 4
         cut_len = cfg.sc_len + need
-        base = jnp.clip(start + cfg.chirp_len - backoff, 0, max(T - cut_len, 0))
+        # the cut reads whole blocks of the recording prefix (zero-copy
+        # gather_cut): clamp the base to the largest start it honors exactly
+        # (≈ T − cut_len − one block row; only frames butting the recording
+        # end are affected, and those lose tail samples either way)
+        base = jnp.clip(start + cfg.chirp_len - backoff, 0,
+                        min(max(T - cut_len, 0),
+                            max_cut_start(T, cut_len, self._cut_block)))
         base = jnp.broadcast_to(base, rx.shape[:-1])
         W, roll = gather_cut(rx, base, cut_len, self._cut_block)
         body = W[..., cfg.sc_len: cfg.sc_len + need]

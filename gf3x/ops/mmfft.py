@@ -30,8 +30,11 @@ __all__ = ["fft_mm", "ifft_mm", "rfft_mm", "irfft_mm", "good_mm_size"]
 
 
 def good_mm_size(n: int) -> bool:
-    """Sizes the matmul path handles well: power of two, 2^14 … 2^24."""
-    return n >= (1 << 14) and (n & (n - 1)) == 0 and n <= (1 << 24)
+    """Sizes the matmul INVERSE path beats the VPU FFT at: power of two,
+    2^13 … 2^24 (measured at 8192 on v5e: irfft_mm 0.48 ms vs VPU 1.05 ms
+    per (1024, 8192); the forward rfft stays on the VPU — 0.78 ms vs
+    rfft_mm's 1.31 ms at the same shape)."""
+    return n >= (1 << 13) and (n & (n - 1)) == 0 and n <= (1 << 24)
 
 
 def _split(n: int) -> tuple[int, int]:

@@ -43,13 +43,24 @@ MAX_STAGE_BYTES = 4 << 20  # staging budget: 2 slots × 8 rows × Tp × 4 B
 
 
 def _group_kernel(q_ref, rxp_ref, out_ref, s0, s1, sem0, sem1,
-                  *, block: int, L: int):
+                  *, block: int, L: int, Tf: int):
     g = pl.program_id(0)
     G = pl.num_programs(0)
 
     def dma(gg, sref, sem):
+        # only the block-aligned prefix [0, Tf) of each row is staged — the
+        # ragged tail is never read and the recording needs no padding; the
+        # scratch's zero tail (set once below) stands in for the zero pad
+        # the XLA fallback applies, so windows may overrun the recording by
+        # up to the 8-block alignment slack with identical (zero) content
         return pltpu.make_async_copy(
-            rxp_ref.at[pl.ds(gg * 8, 8), :], sref, sem)
+            rxp_ref.at[pl.ds(gg * 8, 8), pl.ds(0, Tf)],
+            sref.at[:, pl.ds(0, Tf)], sem)
+
+    @pl.when(g == 0)
+    def _():
+        s0[:, Tf:] = jnp.zeros_like(s0[:, Tf:])
+        s1[:, Tf:] = jnp.zeros_like(s1[:, Tf:])
 
     @pl.when(g == 0)
     def _():
@@ -83,12 +94,17 @@ def _group_kernel(q_ref, rxp_ref, out_ref, s0, s1, sem0, sem1,
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def gather_cut_group_tpu(rxp: jnp.ndarray, q: jnp.ndarray, block: int,
                          nb: int, interpret: bool = False) -> jnp.ndarray:
-    """rxp: (B, Tp) f32 with B % 8 == 0, Tp % block == 0; q: (B,) int32 with
-    (q + nb)·block ≤ Tp (caller clips) → (B, nb·block) f32 windows
-    rxp[i, q[i]·block : (q[i]+nb)·block]."""
-    B, Tp = rxp.shape
+    """rxp: (B, T) f32 with B % 8 == 0 (T need NOT be block-aligned — only
+    the whole-block prefix is read); q: (B,) int32 with
+    (q + nb)·block ≤ floor(T/block)·block + 8·block (caller clips) →
+    (B, nb·block) f32 windows of rxp[i] zero-extended past floor(T/block)
+    (matching the XLA fallback's zero pad; the ragged tail [Tf, T) is not
+    read)."""
+    B, T = rxp.shape
     L = nb * block
-    assert B % 8 == 0 and Tp % block == 0 and L <= Tp
+    Tf = (T // block) * block
+    Ws = Tf + 8 * block
+    assert B % 8 == 0 and L <= Ws
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // 8,),
@@ -96,14 +112,14 @@ def gather_cut_group_tpu(rxp: jnp.ndarray, q: jnp.ndarray, block: int,
         out_specs=pl.BlockSpec((8, L), lambda g, *_: (g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((8, Tp), jnp.float32),
-            pltpu.VMEM((8, Tp), jnp.float32),
+            pltpu.VMEM((8, Ws), jnp.float32),
+            pltpu.VMEM((8, Ws), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_group_kernel, block=block, L=L),
+        functools.partial(_group_kernel, block=block, L=L, Tf=Tf),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, L), jnp.float32),
         interpret=interpret,

@@ -174,39 +174,61 @@ def gather_cut(rx: jnp.ndarray, starts: jnp.ndarray, need: int,
     B = int(np.prod(lead)) if lead else 1
     # round the window up to a multiple of 8 blocks: the TPU kernels' DMA
     # slice shapes must be sublane-tile-aligned (consumers slice fixed
-    # subranges out of `win`, so the wider cut is free); the XLA fallback
-    # matches so all paths return identical shapes/values. The recording is
-    # padded 16 blocks past its end — a window whose start lies within
-    # nb − 16 blocks of the end clips correspondingly earlier (every modem
-    # decode path bounds the cut to start + need ≤ T, so this is a safety
-    # net, not a reachable case).
+    # subranges out of `win`, so the wider cut is free). Windows are cut
+    # from the block-aligned PREFIX of the recording — zero copies: no pad,
+    # no relayout — so the start is clamped to `max_cut_start(T, need)`;
+    # callers keep their cuts inside that bound (Modem._cut_frame does).
+    # All three paths (group kernel, per-row kernel, XLA fallback) share
+    # the same clamp and return identical values.
     nb = -(-(need + block) // block)
     nb = -(-nb // 8) * 8
-    n_blocks = max(-(-T // block) + 16, nb)
-    Tp = n_blocks * block
-    rxp = jnp.pad(rx, [(0, 0)] * len(lead) + [(0, Tp - T)]).reshape(-1, Tp)
+    nf = T // block                                    # whole blocks in rx
+    # windows may overrun the recording's block-aligned prefix by up to the
+    # 8-block alignment slack — those samples read as zeros on every path
+    # (the group kernel's zeroed scratch tail, an explicit pad elsewhere)
+    qcap = nf + 8 - nb
     sflat = jnp.broadcast_to(starts.astype(jnp.int32), tuple(lead)).reshape(-1)
-    q = jnp.clip(sflat // block, 0, n_blocks - nb)
+    rx2 = rx.reshape(-1, T)
     on_tpu = computation_on_tpu()
-    if on_tpu and B % 8 == 0 and 2 * 8 * Tp * 4 <= _pallas_stage_bytes():
+    if qcap < 0:
+        # recording shorter than the window: zero-pad to one window and cut
+        # at block 0 (tiny-input fallback; decode is degenerate here anyway)
+        rxp = jnp.pad(rx2, ((0, 0), (0, nb * block - T)))
+        win = rxp.reshape(*lead, nb * block)
+        r = jnp.clip(sflat, 0, block - 1).reshape(tuple(lead))
+        return win, r
+    q = jnp.clip(sflat // block, 0, qcap)
+    if on_tpu and B % 8 == 0 and 2 * 8 * (nf + 8) * block * 4 <= _pallas_stage_bytes():
         # whole-8-row-group DMA through VMEM staging + lane-aligned
-        # extraction: every input byte moves once (~4× the XLA form)
+        # extraction: every input byte moves once, straight off the caller's
+        # (B, T) layout (~4× the XLA form, no pad/relayout copy at all)
         from .pallas.gather_cut import gather_cut_group_tpu
-        g = gather_cut_group_tpu(rxp, q, block, nb)
-    elif on_tpu:
-        # one contiguous per-row DMA on the (B, n_blocks, block) tile view
-        # (~2× the vmap'd dynamic_slice below, which pays the 2-D layout's
-        # 8-row tile interleave — see ops/pallas/gather_cut.py)
-        from .pallas.gather_cut import gather_cut_tpu
-        g = gather_cut_tpu(rxp.reshape(-1, n_blocks, block), q, nb)
+        g = gather_cut_group_tpu(rx2, q, block, nb)
     else:
-        xb = rxp.reshape(-1, n_blocks, block)
-        g = jax.vmap(
-            lambda row, s: jax.lax.dynamic_slice(row, (s, 0), (nb, block))
-        )(xb, q)
+        rxp = jnp.pad(rx2[:, : nf * block], ((0, 0), (0, 8 * block)))
+        xb = rxp.reshape(-1, nf + 8, block)
+        if on_tpu:
+            # one contiguous per-row DMA on the (B, n_blocks, block) tile
+            # view (~2× the vmap'd dynamic_slice below, which pays the 2-D
+            # layout's 8-row tile interleave — see ops/pallas/gather_cut.py)
+            from .pallas.gather_cut import gather_cut_tpu
+            g = gather_cut_tpu(xb, q, nb)
+        else:
+            g = jax.vmap(
+                lambda row, s: jax.lax.dynamic_slice(row, (s, 0), (nb, block))
+            )(xb, q)
     win = g.reshape(*lead, nb * block)
     r = jnp.clip(sflat - q * block, 0, block - 1).reshape(tuple(lead))
     return win, r
+
+
+def max_cut_start(T: int, need: int, block: int = 128) -> int:
+    """Largest window start for which `gather_cut(rx, starts, need, block)`
+    returns all `need` samples verbatim on a length-T recording: the cut
+    reads whole blocks of the recording prefix (zero-copy), so the last
+    partial block's ≤ block−1 samples read as zeros. Callers clamp their
+    cut base to it."""
+    return max((T // block) * block - need, 0)
 
 
 def _pallas_stage_bytes() -> int:

@@ -64,9 +64,10 @@ def test_config_validation_rejects_bad_geometry():
 
 def test_mmfft_size_gate():
     from gf3x.ops.mmfft import good_mm_size
+    assert good_mm_size(1 << 13)   # measured MXU-inverse win down to 8192
     assert good_mm_size(1 << 14)
     assert good_mm_size(1 << 16)
-    assert not good_mm_size(1 << 13)
+    assert not good_mm_size(1 << 12)
     assert not good_mm_size(65535)                  # not a power of two
     assert not good_mm_size(1 << 25)
 

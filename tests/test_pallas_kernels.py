@@ -106,27 +106,30 @@ def test_gather_cut_kernels_match_xla(B):
 
     from gf3x.ops.pallas.gather_cut import gather_cut_group_tpu, gather_cut_tpu
 
+    from gf3x.ops.sync import max_cut_start
+
     rng = np.random.default_rng(B)
-    block, need, T = 128, 3000, 20000
+    block, need, T = 128, 3000, 20001   # ragged tail: T % block != 0
     nb = -(-(need + block) // block)
     nb = -(-nb // 8) * 8
-    n_blocks = max(-(-T // block) + 16, nb)
-    Tp = n_blocks * block
+    nf = T // block
     rx = rng.standard_normal((B, T)).astype(np.float32)
-    rxp = np.pad(rx, ((0, 0), (0, Tp - T)))
     starts = np.concatenate([
-        rng.integers(0, T - need, B - 2),
-        [0, T - need],                       # edges
+        rng.integers(0, max_cut_start(T, need, block), B - 2),
+        [0, max_cut_start(T, need, block)],  # edges
     ]).astype(np.int32)
-    q = np.clip(starts // block, 0, n_blocks - nb)
-    ref = np.stack([rxp[i, q[i] * block: (q[i] + nb) * block]
+    q = np.clip(starts // block, 0, nf + 8 - nb)
+    # reference semantics: whole-block prefix of rx, zero-extended by the
+    # 8-block alignment slack
+    rxe = np.pad(rx[:, : nf * block], ((0, 0), (0, 8 * block)))
+    ref = np.stack([rxe[i, q[i] * block: (q[i] + nb) * block]
                     for i in range(B)])
 
-    g = gather_cut_group_tpu(jnp.asarray(rxp), jnp.asarray(q), block, nb,
+    g = gather_cut_group_tpu(jnp.asarray(rx), jnp.asarray(q), block, nb,
                              True)
     assert np.array_equal(np.asarray(g), ref)
 
-    r = gather_cut_tpu(jnp.asarray(rxp).reshape(B, n_blocks, block),
+    r = gather_cut_tpu(jnp.asarray(rxe).reshape(B, nf + 8, block),
                        jnp.asarray(q), nb, True)
     assert np.array_equal(np.asarray(r).reshape(B, nb * block), ref)
 
