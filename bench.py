@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 B = 1024            # frames per sub-batch (config 5: "1024 parallel frames")
-SCAN_BATCHES = 16   # sub-batches decoded per dispatched program
+SCAN_BATCHES = 32   # sub-batches decoded per dispatched program
 MARGIN = 4096       # random-delay headroom per recording (samples)
 STEPS = 4           # timed dispatches (each = SCAN_BATCHES sub-batches)
 
@@ -120,10 +120,18 @@ def main():
 
     @jax.jit
     def decode_scan(rx):
-        def step(carry, r):
-            bits, diag = modem.demodulate(r)
-            return carry + jnp.sum(bits.astype(jnp.int32)) + jnp.sum(diag.sync_start), 0
-        acc, _ = jax.lax.scan(step, jnp.int32(0), rx)
+        # one resident (B, T) batch decoded SCAN_BATCHES times per program —
+        # the body depends on the carry so XLA cannot hoist it (the
+        # measurement trap in ARCHITECTURE.md rule 4c), and each iteration
+        # re-streams the 190 MB batch from HBM exactly as a fresh arrival
+        # would; a materialized (SCAN_BATCHES, B, T) broadcast measured the
+        # same per-sub-batch time while holding 32× the memory
+        def step(carry, _):
+            bits, diag = modem.demodulate(rx + carry * jnp.float32(1e-30))
+            return (carry
+                    + jnp.sum(bits.astype(jnp.int32)).astype(jnp.float32)
+                    + jnp.sum(diag.sync_start).astype(jnp.float32)), 0
+        acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=SCAN_BATCHES)
         return acc
 
     # correctness gate: the benchmark only counts decodes that recover bits
@@ -131,7 +139,7 @@ def main():
     res0 = modem._result(np.asarray(bits0[0]), None)
     assert res0.crc_ok and res0.payload == payload, "bench decode is broken"
 
-    rx_dev = jax.device_put(jnp.asarray(np.broadcast_to(rx, (SCAN_BATCHES, B, rx.shape[-1]))))
+    rx_dev = jax.device_put(jnp.asarray(rx))
     jax.device_get(decode_scan(rx_dev))  # compile + full warmup
     jax.device_get(decode_scan(rx_dev))
     from gf3x.utils.profiling import maybe_trace
@@ -153,10 +161,10 @@ def main():
     # per-frame work is this path)
     @jax.jit
     def win_scan(w):
-        def step(carry, ww):
-            b, _ = modem.demodulate_prewindowed(ww)
-            return carry + jnp.sum(b.astype(jnp.int32)), 0
-        acc, _ = jax.lax.scan(step, jnp.int32(0), w)
+        def step(carry, _):
+            b, _d = modem.demodulate_prewindowed(w + carry * jnp.float32(1e-30))
+            return carry + jnp.sum(b.astype(jnp.int32)).astype(jnp.float32), 0
+        acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=SCAN_BATCHES)
         return acc
 
     # cut each window at its frame's true onset (the streaming receiver's
@@ -167,8 +175,7 @@ def main():
     wb, _ = modem._decode_win_jit(jax.device_put(jnp.asarray(win_np[:2])))
     resw = modem._result(np.asarray(wb[0]), None)
     assert resw.crc_ok and resw.payload == payload, "prewindowed decode broken"
-    win = jax.device_put(jnp.asarray(np.broadcast_to(
-        win_np, (SCAN_BATCHES, B, cfg.frame_len))))
+    win = jax.device_put(jnp.asarray(win_np))
     jax.device_get(win_scan(win)); jax.device_get(win_scan(win))
     t0 = time.perf_counter()
     outs = [win_scan(win) for _ in range(STEPS)]
