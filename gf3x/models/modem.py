@@ -158,38 +158,40 @@ class Modem:
         return max(1, min(128, self.cfg.cp // 2))
 
     def _cut_frame(self, rx: jnp.ndarray, start: jnp.ndarray):
-        """Sync position → (body, sc_win or None, roll).
+        """Sync position → (syms (..., S, n_fft), sc_win or None, roll).
 
-        The cut is a pure BLOCK-ALIGNED gather (`gather_cut`): no FFT pair
-        at all in the extraction, cost independent of the recording length.
-        The windows start `roll` ∈ [0, _CUT_BLOCK) samples early; the CP
-        absorbs the shift (the body already starts `cp//4` inside the CP as
-        timing backoff), so the demod corrects it with one post-FFT phase
-        ramp, and the SC metric/clock estimators tolerate it via guarded
-        half-windows."""
-        from ..ops.sync import gather_cut, max_cut_start
+        The cut is a pure BLOCK-ALIGNED extraction (`cut_symbols`: one
+        fused Pallas kernel on TPU — staging DMA straight into the
+        DFT-ready CP-stripped symbol layout — `gather_cut` + reshape
+        elsewhere): no FFT pair at all, cost independent of the recording
+        length. The windows start `roll` ∈ [0, _CUT_BLOCK) samples early;
+        the CP absorbs the shift (the symbols already start `cp//4` inside
+        the CP as timing backoff), so the demod corrects it with one
+        post-FFT phase ramp, and the SC metric/clock estimators tolerate it
+        via guarded half-windows."""
+        from ..ops.sync import cut_symbols, max_cut_start
 
         cfg = self.cfg
         T = rx.shape[-1]
-        need = (cfg.n_known_symbols + cfg.n_data_symbols) * cfg.symbol_len
+        S = cfg.n_known_symbols + cfg.n_data_symbols
+        need = S * cfg.symbol_len
         backoff = cfg.cp // 4
         cut_len = cfg.sc_len + need
-        # the cut reads whole blocks of the recording prefix (zero-copy
-        # gather_cut): clamp the base to the largest start it honors exactly
-        # (≈ T − cut_len − one block row; only frames butting the recording
-        # end are affected, and those lose tail samples either way)
+        # the cut reads whole blocks of the recording prefix (zero-copy):
+        # clamp the base to the largest start it honors exactly (≈ T −
+        # cut_len − one block row; only frames butting the recording end
+        # are affected, and those lose tail samples either way)
         base = jnp.clip(start + cfg.chirp_len - backoff, 0,
                         min(max(T - cut_len, 0),
                             max_cut_start(T, cut_len, self._cut_block)))
         base = jnp.broadcast_to(base, rx.shape[:-1])
-        W, roll = gather_cut(rx, base, cut_len, self._cut_block)
-        body = W[..., cfg.sc_len: cfg.sc_len + need]
-        sc_win = None
-        if cfg.use_schmidl_cox:
-            # centre the ±block misalignment inside the SC guard budget
-            o = cfg.cp + backoff + self._cut_block // 2
-            sc_win = W[..., o: o + cfg.n_fft]
-        return body, sc_win, roll
+        # centre the ±block misalignment inside the SC guard budget
+        sc_off = (cfg.cp + backoff + self._cut_block // 2
+                  if cfg.use_schmidl_cox else -1)
+        return cut_symbols(rx, base, S=S, n_fft=cfg.n_fft,
+                           sym_len=cfg.symbol_len, cp=cfg.cp,
+                           body_off=cfg.sc_len, sc_off=sc_off,
+                           block=self._cut_block)
 
     def _sc_of(self, sc_win: Optional[jnp.ndarray], lead: tuple) -> jnp.ndarray:
         """SC-symbol presence metric (≈1 on a frame) from its n_fft window."""
@@ -204,11 +206,11 @@ class Modem:
         """Demodulate frames whose chirp onset is `start`. rx: (..., T),
         start: (...,) int32 → (llr (..., raw_bits), diag pieces).
 
-        Window cut via the block-aligned gather, then the common
-        prewindowed tail (fused Pallas EQ/demap on TPU, XLA twin
+        Window cut via the block-aligned extraction, then the common
+        symbol-matrix tail (fused Pallas EQ/demap on TPU, XLA twin
         elsewhere)."""
-        body, _, roll = self._cut_frame(rx, start)
-        return self._demod_prewindowed(body, use_pallas, roll=roll)
+        syms, _, roll = self._cut_frame(rx, start)
+        return self._demod_syms(syms, use_pallas, roll=roll)
 
     def _fused_eq_demap(self, Y: jnp.ndarray, H: jnp.ndarray,
                         noise_var: jnp.ndarray, lead: tuple,
@@ -250,19 +252,29 @@ class Modem:
                * roll.astype(jnp.float32)[..., None, None] * k)
         return Y * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
 
-    def _eq_body(self, body: jnp.ndarray, delta=None, roll=None):
-        """CP-aligned OFDM body → equalized, phase-tracked data symbols.
+    def _sym_matrix(self, body: jnp.ndarray) -> jnp.ndarray:
+        """CP-aligned OFDM body (..., S·symbol_len) → CP-stripped symbol
+        matrix (..., S, n_fft) (the layout the DFT stage and the fused cut
+        kernel share)."""
+        cfg = self.cfg
+        *lead, T = body.shape
+        S = T // cfg.symbol_len
+        return body.reshape(*lead, S, cfg.symbol_len)[..., cfg.cp:]
 
-        body: (..., (K+D)·symbol_len) → (data (..., D, n_data_bins) complex,
+    def _eq_syms(self, syms: jnp.ndarray, delta=None, roll=None):
+        """CP-stripped symbol matrix → equalized, phase-tracked data symbols.
+
+        syms: (..., K+D, n_fft) → (data (..., D, n_data_bins) complex,
         nv_eff (..., n_data_bins), (H, noise_var, slope, cpe)). The XLA
-        (non-Pallas) receive tail, shared by `_demod_prewindowed` and
+        (non-Pallas) receive tail, shared by `_demod_syms` and
         `equalized_symbols`. `delta` routes to the δ-warped DFT demod;
         `roll` derotates a block-grid cut misalignment."""
+        from ..ops.ofdm import ofdm_dft
         from .frame import split_pilots
 
         cfg = self.cfg
         lay = layout(cfg)
-        Y = self._deroll(ofdm_demodulate(cfg, body, delta), roll)
+        Y = self._deroll(ofdm_dft(cfg, syms, delta), roll)
         H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :], delta)
         eq = equalize(H, Y[..., cfg.n_known_symbols:, :])
         eq, slope, cpe = pilot_phase_correct(cfg, eq, H)
@@ -289,8 +301,8 @@ class Modem:
         rx = jnp.asarray(np.asarray(rx, dtype=np.float32))
 
         def fn(r, s):
-            body, _, roll = self._cut_frame(r, s)
-            data, _, _ = self._eq_body(body, roll=roll)
+            syms, _, roll = self._cut_frame(r, s)
+            data, _, _ = self._eq_syms(syms, roll=roll)
             return jnp.stack([data.real, data.imag], axis=-1)
 
         if start is None:
@@ -333,13 +345,13 @@ class Modem:
         cfg = self.cfg
         need = (cfg.n_known_symbols + cfg.n_data_symbols) * cfg.symbol_len
         a = cfg.preamble_len - cfg.cp // 4   # a + need = frame_len − backoff
-        body = windows[..., a: a + need]
+        syms = self._sym_matrix(windows[..., a: a + need])
         sc_win = None
         if cfg.use_schmidl_cox:
             o = cfg.chirp_len + cfg.cp       # SC body within the window
             sc_win = windows[..., o: o + cfg.n_fft]
-        delta = self._two_pass_delta(body, sc_win) if sfo_correct else None
-        llr, (H, nv, slope, cpe, evm) = self._demod_prewindowed(body, delta=delta)
+        delta = self._two_pass_delta(syms, sc_win) if sfo_correct else None
+        llr, (H, nv, slope, cpe, evm) = self._demod_syms(syms, delta=delta)
         bits = self._bits_from_llr(llr)
         ppm = slope_clock_offset(cfg, slope) * 1e6
         zeros = jnp.zeros(windows.shape[:-1], jnp.int32)
@@ -356,32 +368,41 @@ class Modem:
 
     def _demod_prewindowed(self, body: jnp.ndarray, use_pallas: Optional[bool] = None,
                            delta=None, roll=None):
-        """Demap a CP-aligned OFDM body (..., (K+D)·symbol_len) — the common
+        """Demap a CP-aligned OFDM body (..., (K+D)·symbol_len): reshape to
+        the symbol matrix and run the common tail."""
+        return self._demod_syms(self._sym_matrix(body), use_pallas, delta, roll)
+
+    def _demod_syms(self, syms: jnp.ndarray, use_pallas: Optional[bool] = None,
+                    delta=None, roll=None):
+        """Demap a CP-stripped symbol matrix (..., K+D, n_fft) — the common
         tail of every decode path (window extraction already done). Routes
         to the fused Pallas EQ/demap kernel on TPU, the XLA twin elsewhere.
         `delta` (traced scalar) routes the FFT stage to the δ-warped DFT;
-        `roll` derotates a block-grid cut misalignment (gather_cut)."""
+        `roll` derotates a block-grid cut misalignment (cut_symbols)."""
+        from ..ops.ofdm import ofdm_dft
+
         cfg = self.cfg
+        lead = syms.shape[:-2]
         if use_pallas is None:
             from ..ops.pallas.fused_eq import fused_shapes_ok
             from ..utils.device import computation_on_tpu
-            B = int(np.prod(body.shape[:-1])) if body.ndim > 1 else 1
+            B = int(np.prod(lead)) if lead else 1
             use_pallas = (computation_on_tpu() and cfg.strided_pilots
                           and fused_shapes_ok(cfg, B))
         if use_pallas:
-            Y = self._deroll(ofdm_demodulate(cfg, body, delta), roll)
+            Y = self._deroll(ofdm_dft(cfg, syms, delta), roll)
             H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :], delta)
-            return self._fused_eq_demap(Y, H, noise_var, body.shape[:-1])
-        data, nv_eff, (H, noise_var, slope, cpe) = self._eq_body(body, delta, roll)
+            return self._fused_eq_demap(Y, H, noise_var, lead)
+        data, nv_eff, (H, noise_var, slope, cpe) = self._eq_syms(syms, delta, roll)
         llr3 = qam_demap_llr(
             data, jnp.broadcast_to(nv_eff, data.shape), cfg.bits_per_symbol
         )
         hard = hard_bits(llr3)
         evm = jnp.mean(jnp.abs(data - qam_map(hard, cfg.bits_per_symbol)) ** 2, axis=(-2, -1))
-        llr = llr3.reshape(*body.shape[:-1], cfg.raw_bits_per_frame)
+        llr = llr3.reshape(*lead, cfg.raw_bits_per_frame)
         return llr, (H, noise_var, slope, cpe, evm)
 
-    def _two_pass_delta(self, body: jnp.ndarray, sc_win: Optional[jnp.ndarray],
+    def _two_pass_delta(self, syms: jnp.ndarray, sc_win: Optional[jnp.ndarray],
                         roll=None):
         """Clock-offset correction loop (coarse → fine): the SC fractional
         estimate seeds a δ-warped demod pass; that pass's pilot slopes give
@@ -397,8 +418,7 @@ class Modem:
             d0 = jnp.mean(sc_clock_offset(cfg, sc_win))
         else:
             d0 = jnp.float32(0.0)
-        _, (_, _, slope_a, _, _) = self._demod_prewindowed(body, delta=d0,
-                                                           roll=roll)
+        _, (_, _, slope_a, _, _) = self._demod_syms(syms, delta=d0, roll=roll)
         return jnp.mean(slope_clock_offset(cfg, slope_a))
 
     def _demod_synced(self, rx: jnp.ndarray, start: jnp.ndarray,
@@ -411,11 +431,11 @@ class Modem:
         from ..ops.sfo import slope_clock_offset
 
         cfg = self.cfg
-        body, sc_win, roll = self._cut_frame(rx, start)
-        delta = (self._two_pass_delta(body, sc_win, roll)
+        syms, sc_win, roll = self._cut_frame(rx, start)
+        delta = (self._two_pass_delta(syms, sc_win, roll)
                  if sfo_correct else None)
-        llr, (H, nv, slope, cpe, evm) = self._demod_prewindowed(
-            body, delta=delta, roll=roll)
+        llr, (H, nv, slope, cpe, evm) = self._demod_syms(
+            syms, delta=delta, roll=roll)
         bits = self._bits_from_llr(llr)
         # pilot slopes measure the full timing drift (= δ) on warped and
         # unwarped passes alike — no delta offset to add

@@ -36,7 +36,7 @@ def _dft_tables(cfg: ModemConfig):
     S = np.sin(th).astype(np.float32)
     return C, S
 
-__all__ = ["ofdm_modulate", "ofdm_demodulate"]
+__all__ = ["ofdm_modulate", "ofdm_demodulate", "ofdm_dft"]
 
 
 def ofdm_modulate(cfg: ModemConfig, sym_bins: jnp.ndarray) -> jnp.ndarray:
@@ -86,11 +86,20 @@ def ofdm_demodulate(cfg: ModemConfig, samples: jnp.ndarray,
     residual per-symbol phase ramps (window drift) are absorbed by the
     standard pilot tracking downstream.
     """
-    from ..utils.device import computation_on_tpu
-
     *lead, T = samples.shape
     S = T // cfg.symbol_len
     sym = samples.reshape(*lead, S, cfg.symbol_len)[..., cfg.cp:]
+    return ofdm_dft(cfg, sym, delta)
+
+
+def ofdm_dft(cfg: ModemConfig, sym: jnp.ndarray,
+             delta: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Used-band DFT of already CP-stripped symbols: (..., S, n_fft) float32
+    → (..., S, n_used) complex64. The tail of `ofdm_demodulate` (same math,
+    same matmul tables); the fused Pallas cut emits symbols in this layout
+    directly, skipping the reshape/CP-slice copy."""
+    from ..utils.device import computation_on_tpu
+
     if delta is not None:
         n = jnp.arange(cfg.n_fft, dtype=jnp.float32)[:, None]
         k = jnp.arange(cfg.bin_lo, cfg.bin_hi + 1, dtype=jnp.float32)[None, :]

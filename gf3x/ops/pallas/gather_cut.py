@@ -177,3 +177,101 @@ def gather_cut_tpu(rxb: jnp.ndarray, q: jnp.ndarray, K: int,
         out_shape=jax.ShapeDtypeStruct((B, K, block), jnp.float32),
         interpret=interpret,
     )(q.astype(jnp.int32), rxb)
+
+
+def _symbols_kernel(q_ref, rxp_ref, syms_ref, scw_ref, s0, s1, sem0, sem1,
+                    *, block: int, Tf: int, S: int, n_fft: int,
+                    body_off: int, sym_len: int, cp: int, sc_off: int):
+    g = pl.program_id(0)
+    G = pl.num_programs(0)
+
+    def dma(gg, sref, sem):
+        return pltpu.make_async_copy(
+            rxp_ref.at[pl.ds(gg * 8, 8), pl.ds(0, Tf)],
+            sref.at[:, pl.ds(0, Tf)], sem)
+
+    @pl.when(g == 0)
+    def _():
+        s0[:, Tf:] = jnp.zeros_like(s0[:, Tf:])
+        s1[:, Tf:] = jnp.zeros_like(s1[:, Tf:])
+        dma(0, s0, sem0).start()
+
+    even = jax.lax.rem(g, 2) == 0
+
+    @pl.when((g + 1 < G) & even)
+    def _():
+        dma(g + 1, s1, sem1).start()
+
+    @pl.when((g + 1 < G) & jnp.logical_not(even))
+    def _():
+        dma(g + 1, s0, sem0).start()
+
+    def extract(sref, sem):
+        dma(g, sref, sem).wait()
+        for r in range(8):
+            off = pl.multiple_of(q_ref[g * 8 + r] * block, block)
+            for s in range(S):
+                # dynamic base (128-multiple) + static symbol offset: one
+                # vector copy per OFDM symbol, written CP-stripped straight
+                # into the (8, S, n_fft) output block — the downstream DFT
+                # matmul consumes this layout with no reshape/slice copy
+                a = body_off + s * sym_len + cp
+                syms_ref[r, s, :] = sref[r, pl.ds(off + a, n_fft)]
+            if sc_off >= 0:
+                scw_ref[r, :] = sref[r, pl.ds(off + sc_off, n_fft)]
+
+    @pl.when(even)
+    def _():
+        extract(s0, sem0)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        extract(s1, sem1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def cut_symbols_tpu(rxp: jnp.ndarray, q: jnp.ndarray, block: int, S: int,
+                    n_fft: int, body_off: int, sym_len: int, cp: int,
+                    sc_off: int, interpret: bool = False):
+    """Fused frame cut + symbol extraction: rxp (B, T) f32 (B % 8 == 0),
+    q (B,) int32 block index of each row's window start → (syms, scw):
+    syms (B, S, n_fft) = CP-stripped OFDM symbol s at
+    rxp[i, q·block + body_off + s·sym_len + cp :][:n_fft], and
+    scw (B, n_fft) at q·block + sc_off (sc_off < 0 → zeros; pass the
+    Schmidl–Cox window offset within the cut otherwise). Samples past the
+    recording's whole-block prefix read as zeros, exactly like
+    `gather_cut`. The caller guarantees
+    q·block + body_off + (S−1)·sym_len + cp + n_fft ≤ floor(T/block)·block
+    + 8·block (the `max_cut_start` clamp with the same `need`)."""
+    B, T = rxp.shape
+    Tf = (T // block) * block
+    Ws = Tf + 8 * block
+    assert B % 8 == 0
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // 8,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((8, S, n_fft), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_fft), lambda g, *_: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, Ws), jnp.float32),
+            pltpu.VMEM((8, Ws), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_symbols_kernel, block=block, Tf=Tf, S=S,
+                          n_fft=n_fft, body_off=body_off, sym_len=sym_len,
+                          cp=cp, sc_off=sc_off),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, n_fft), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_fft), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q.astype(jnp.int32), rxp)

@@ -22,6 +22,8 @@ __all__ = [
     "matched_filter_spec",
     "streaming_matched_filter",
     "gather_cut",
+    "cut_symbols",
+    "max_cut_start",
     "find_frame_start",
     "schmidl_cox_metric",
     "sc_metric_at",
@@ -220,6 +222,47 @@ def gather_cut(rx: jnp.ndarray, starts: jnp.ndarray, need: int,
     win = g.reshape(*lead, nb * block)
     r = jnp.clip(sflat - q * block, 0, block - 1).reshape(tuple(lead))
     return win, r
+
+
+def cut_symbols(rx: jnp.ndarray, starts: jnp.ndarray, *, S: int, n_fft: int,
+                sym_len: int, cp: int, body_off: int, sc_off: int,
+                block: int = 128):
+    """Fused frame cut + CP strip: (syms (..., S, n_fft), scw (..., n_fft)
+    or None, roll (...,)).
+
+    Symbol s of row i is rx[i, w + body_off + s·sym_len + cp :][:n_fft]
+    with w = floor(start/block)·block (roll = start − w, for the consumer's
+    post-FFT phase ramp, exactly as `gather_cut`); scw is the n_fft window
+    at w + sc_off (None when sc_off < 0). On TPU with B % 8 == 0 this is
+    one Pallas kernel writing the DFT-ready (..., S, n_fft) layout straight
+    out of the staging buffer — no window writeback, no reshape/CP-slice
+    copy; elsewhere it derives the same values from `gather_cut`.
+    """
+    from ..utils.device import computation_on_tpu
+
+    *lead, T = rx.shape
+    B = int(np.prod(lead)) if lead else 1
+    need = max(body_off + S * sym_len, (sc_off + n_fft) if sc_off >= 0 else 0)
+    nf = T // block
+    nb = -(-(need + block) // block)
+    nb = -(-nb // 8) * 8
+    if (computation_on_tpu() and B % 8 == 0 and nf + 8 - nb >= 0
+            and 2 * 8 * (nf + 8) * block * 4 <= _pallas_stage_bytes()):
+        from .pallas.gather_cut import cut_symbols_tpu
+        sflat = jnp.broadcast_to(starts.astype(jnp.int32),
+                                 tuple(lead)).reshape(-1)
+        q = jnp.clip(sflat // block, 0, nf + 8 - nb)
+        syms, scw = cut_symbols_tpu(rx.reshape(-1, T), q, block, S, n_fft,
+                                    body_off, sym_len, cp, sc_off)
+        syms = syms.reshape(*lead, S, n_fft)
+        scw = scw.reshape(*lead, n_fft) if sc_off >= 0 else None
+        r = jnp.clip(sflat - q * block, 0, block - 1).reshape(tuple(lead))
+        return syms, scw, r
+    win, r = gather_cut(rx, starts, need, block)
+    body = win[..., body_off: body_off + S * sym_len]
+    syms = body.reshape(*lead, S, sym_len)[..., cp: cp + n_fft]
+    scw = win[..., sc_off: sc_off + n_fft] if sc_off >= 0 else None
+    return syms, scw, r
 
 
 def max_cut_start(T: int, need: int, block: int = 128) -> int:

@@ -145,3 +145,37 @@ def test_fused_shapes_ok_routing():
     assert not fused_shapes_ok(preset("gf3-turbo"), 1)   # the OOM shape
     assert not fused_shapes_ok(preset("gf3-turbo"), 128)
     assert fused_shapes_ok(preset("gf3-turbo"), 1024)
+
+
+def test_cut_symbols_kernel_matches_xla():
+    """The fused cut+CP-strip kernel returns exactly the gather_cut-derived
+    symbol matrix and SC window on the CPU fallback path."""
+    import jax
+
+    from gf3x.ops.pallas.gather_cut import cut_symbols_tpu
+    from gf3x.ops.sync import cut_symbols
+
+    rng = np.random.default_rng(5)
+    block, S, n_fft, cp = 128, 5, 512, 128
+    sym_len = n_fft + cp
+    body_off, sc_off = sym_len, 96
+    T = 9000 + 77                       # ragged tail
+    B = 16
+    rx = rng.standard_normal((B, T)).astype(np.float32)
+    starts = rng.integers(0, T - body_off - S * sym_len - 200, B).astype(np.int32)
+
+    # reference: the XLA fallback (gather_cut + reshape/slice)
+    ref_syms, ref_scw, ref_roll = cut_symbols(
+        jnp.asarray(rx), jnp.asarray(starts), S=S, n_fft=n_fft,
+        sym_len=sym_len, cp=cp, body_off=body_off, sc_off=sc_off, block=block)
+
+    need = body_off + S * sym_len
+    nb = -(-(need + block) // block)
+    nb = -(-nb // 8) * 8
+    nf = T // block
+    q = np.clip(starts // block, 0, nf + 8 - nb)
+    syms, scw = cut_symbols_tpu(jnp.asarray(rx), jnp.asarray(q), block, S,
+                                n_fft, body_off, sym_len, cp, sc_off, True)
+    assert np.array_equal(np.asarray(syms), np.asarray(ref_syms))
+    assert np.array_equal(np.asarray(scw), np.asarray(ref_scw))
+    assert np.array_equal(np.asarray(ref_roll), starts - q * block)
