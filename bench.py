@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 B = 1024            # frames per sub-batch (config 5: "1024 parallel frames")
-SCAN_BATCHES = 32   # sub-batches decoded per dispatched program
+SCAN_BATCHES = 64   # sub-batches decoded per dispatched program
 MARGIN = 4096       # random-delay headroom per recording (samples)
 STEPS = 4           # timed dispatches (each = SCAN_BATCHES sub-batches)
 
