@@ -7,14 +7,15 @@ TPU-native JAX (SURVEY.md §8 step 5):
 - **encode**: parity bits via one (batch×k)·(k×m) float32 matmul against the
   precomputed GF(2) projector (exact: row sums ≪ 2²⁴), then mod 2 — the
   systolic-array formulation of back-substitution.
-- **decode**: flooding normalized min-sum over the quasi-cyclic block
-  structure. Messages live in *check order* as a dense (12, Dmax, batch, z)
-  array — the base matrix is static, so check-node grouping is a reshape,
-  circulant shifts are static gathers, and the only reductions are over the
-  tiny static degree axis. `lax.fori_loop` over iterations; everything is
-  batch-major for the VPU. No sparse scatter into ragged structures —
-  irregular connectivity is padded to rectangles (SURVEY.md §8 risk "LDPC
-  in XLA").
+- **decode**: LAYERED (block-row-serial) normalized min-sum over the
+  quasi-cyclic block structure: each block row's check update reads the
+  variable totals already updated by this iteration's earlier rows —
+  roughly half the iterations to convergence of the flooding schedule at
+  the same per-iteration cost. The base matrix is static, so circulant
+  shifts are static rolls and the only reductions are over the tiny static
+  row degree; everything is batch-major for the VPU. No sparse scatter
+  into ragged structures — irregular connectivity is padded to rectangles
+  (SURVEY.md §8 risk "LDPC in XLA").
 
 A NumPy float64 twin of the decoder (same message schedule) serves the
 golden model; `gf3x/native/` adds a C++ host codec for parity testing.
@@ -145,44 +146,52 @@ class LdpcCode:
 
     def _np_minsum(self, lam: np.ndarray, iters: int,
                    early_exit: bool = True) -> tuple[np.ndarray, int]:
+        """Layered (block-row-serial) normalized min-sum: each block row's
+        check update reads the CURRENT variable totals — which already
+        include this iteration's earlier rows — and writes its message
+        delta back into them immediately. Within one block row the z checks
+        touch disjoint variables (single circulant per base entry), so the
+        vectorized per-row update equals check-serial processing; across
+        rows the immediacy roughly halves the iterations to convergence vs
+        the flooding schedule. All four backends (this, XLA, Pallas, C++)
+        share the exact layer order and tie-breaking, so decoded bits stay
+        bit-identical."""
         t, z = self.t, self.z
         B = lam.shape[0]
         lam_b = lam.reshape(B, N_BLOCK_COLS, z)
-        lam_b = np.concatenate([lam_b, np.zeros((B, 1, z))], axis=1)  # dummy col
+        totals = np.concatenate([lam_b, np.zeros((B, 1, z))], axis=1)  # +dummy
         c2v = np.zeros((N_BLOCK_ROWS, t.dmax, B, z))
-        gv = np.broadcast_to(t.to_var_idx[:, :, None, :], (N_BLOCK_ROWS, t.dmax, B, z))
-        gc = np.broadcast_to(t.to_chk_idx[:, :, None, :], (N_BLOCK_ROWS, t.dmax, B, z))
-        valid = t.edge_valid[:, :, None, None]
-
-        def totals_of(c2v):
-            contrib = np.take_along_axis(c2v, gv, axis=-1) * valid   # var order
-            totals = lam_b.copy()
-            np.add.at(totals.transpose(1, 0, 2), t.edge_col.reshape(-1),
-                      contrib.reshape(-1, B, z))
-            return totals, contrib
 
         it_run = 0
         frozen = np.zeros(B, dtype=bool)
         for _ in range(iters):
-            totals, contrib = totals_of(c2v)
             if early_exit:
                 frozen = ~self._np_unsat(totals)
                 if frozen.all():
                     break
-            v2c_var = totals[:, t.edge_col].transpose(1, 2, 0, 3) - contrib
-            v2c = np.take_along_axis(v2c_var, gc, axis=-1)           # check order
-            mag = np.where(valid, np.abs(v2c), np.inf)
-            sgn = np.where(valid & (v2c < 0), -1.0, 1.0)
-            prod = np.prod(sgn, axis=1, keepdims=True)
-            m1 = np.min(mag, axis=1, keepdims=True)
-            am = np.argmin(mag, axis=1, keepdims=True)
-            mask = np.arange(t.dmax)[None, :, None, None] == am
-            m2 = np.min(np.where(mask, np.inf, mag), axis=1, keepdims=True)
-            mins = np.where(mask, m2, m1)
-            new = _ALPHA * (prod * sgn) * mins * valid
-            c2v = np.where(frozen[None, None, :, None], c2v, new)
+            upd = ~frozen
+            for i in range(N_BLOCK_ROWS):
+                d = int(np.sum(t.edge_valid[i]))
+                cols = t.edge_col[i, :d]
+                shfs = t.edge_shift[i, :d]
+                # v2c in check order: roll(tot, −s) − c2v (current totals)
+                v2c = np.stack(
+                    [np.roll(totals[:, cols[e]], -int(shfs[e]), axis=-1)
+                     - c2v[i, e] for e in range(d)], axis=0)       # (d, B, z)
+                mag = np.abs(v2c)
+                sgn = np.where(v2c < 0, -1.0, 1.0)
+                prod = np.prod(sgn, axis=0, keepdims=True)
+                m1 = np.min(mag, axis=0, keepdims=True)
+                am = np.argmin(mag, axis=0, keepdims=True)
+                mask = np.arange(d)[:, None, None] == am
+                m2 = np.min(np.where(mask, np.inf, mag), axis=0, keepdims=True)
+                mins = np.where(mask, m2, m1)
+                new = _ALPHA * (prod * sgn) * mins                 # (d, B, z)
+                for e in range(d):
+                    delta = np.where(upd[:, None], new[e] - c2v[i, e], 0.0)
+                    totals[:, cols[e]] += np.roll(delta, int(shfs[e]), axis=-1)
+                    c2v[i, e] = np.where(upd[:, None], new[e], c2v[i, e])
             it_run += 1
-        totals, _ = totals_of(c2v)
         return totals[:, :N_BLOCK_COLS].reshape(B, self.n), it_run
 
     # -------------------------------------------------------------- jax path
@@ -199,7 +208,7 @@ class LdpcCode:
                    early_exit: bool = True) -> jnp.ndarray:
         """(..., n) float32 LLRs (positive ⇒ bit 0) → (..., k) uint8 info bits.
 
-        Flooding normalized min-sum, all shapes static. Leading dims are
+        Layered normalized min-sum, all shapes static. Leading dims are
         flattened into the batch axis and restored — callers may vmap/shard
         over them freely.
 
@@ -241,27 +250,14 @@ class LdpcCode:
         for e, (i, j, s) in enumerate(edges):
             rows[i].append((e, j, s))
         E = len(edges)
-        by_col: list[list[int]] = [[] for _ in range(N_BLOCK_COLS)]
-        for e, (i, j, s) in enumerate(edges):
-            by_col[j].append(e)
 
-        def totals_of(c2v):
-            """c2v: (E, B, z) in check order → (totals (B,24,z), var-order contribs)."""
-            contrib = [jnp.roll(c2v[e], s, axis=-1) for e, (_, _, s) in enumerate(edges)]
-            cols = []
-            for j in range(N_BLOCK_COLS):
-                acc = lam_b[:, j]
-                for e in by_col[j]:
-                    acc = acc + contrib[e]
-                cols.append(acc)
-            return jnp.stack(cols, axis=1), contrib
-
-        def update(c2v, tot, frozen):
-            """One flooding check-node pass; frozen (B,) lanes keep their
-            messages. v2c in check order uses the exact roll identity
-            roll(tot − roll(c2v, s), −s) = roll(tot, −s) − c2v (permutation
-            of identical pairs ⇒ bit-identical, one roll instead of two)."""
-            new = [None] * E
+        def sweep(tot, c2v, frozen):
+            """One layered iteration: each block row reads the CURRENT
+            totals (already updated by this iteration's earlier rows) and
+            writes its message delta back immediately. `frozen` (B,) lanes
+            keep messages AND totals. tot: (B, 24, z), c2v: (E, B, z)."""
+            upd = None if frozen is None else \
+                jnp.logical_not(frozen)[:, None].astype(jnp.float32)
             for i in range(N_BLOCK_ROWS):
                 v2c = jnp.stack(
                     [jnp.roll(tot[:, j], -s, axis=-1) - c2v[e]
@@ -276,12 +272,14 @@ class LdpcCode:
                 m2 = jnp.min(jnp.where(mask, _BIG, mag), axis=0, keepdims=True)
                 mins = jnp.where(mask, m2, m1)
                 out = _ALPHA * (prod * sgn) * mins                    # (d, B, z)
-                for di, (e, _, _) in enumerate(rows[i]):
-                    new[e] = out[di]
-            new = jnp.stack(new, axis=0)
-            if frozen is None:
-                return new
-            return jnp.where(frozen[None, :, None], c2v, new)
+                for di, (e, j, s) in enumerate(rows[i]):
+                    delta = out[di] - c2v[e]
+                    if upd is not None:
+                        delta = delta * upd
+                    tot = tot.at[:, j].set(
+                        tot[:, j] + jnp.roll(delta, s, axis=-1))
+                    c2v = c2v.at[e].set(c2v[e] + delta)
+            return tot, c2v
 
         def unsat_of(tot):
             """(B, 24, z) totals → (B,) bool: any parity check violated."""
@@ -295,26 +293,26 @@ class LdpcCode:
             return unsat
 
         c2v = jnp.zeros((E, B, z), jnp.float32)
+        tot = lam_b
         if early_exit:
             def cond(state):
-                it, done, _ = state
+                it, done, _, _ = state
                 return (it < iters) & jnp.logical_not(done)
 
             def body(state):
-                it, _, c2v = state
-                tot, _ = totals_of(c2v)
+                it, _, tot, c2v = state
                 frozen = jnp.logical_not(unsat_of(tot))
-                return it + 1, jnp.all(frozen), update(c2v, tot, frozen)
+                tot, c2v = sweep(tot, c2v, frozen)
+                return it + 1, jnp.all(frozen), tot, c2v
 
-            _, _, c2v = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), jnp.bool_(False), c2v))
+            _, _, tot, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.bool_(False), tot, c2v))
         else:
-            def body(_, c2v):
-                tot, _ = totals_of(c2v)
-                return update(c2v, tot, None)
+            def body(_, state):
+                tot, c2v = state
+                return sweep(tot, c2v, None)
 
-            c2v = jax.lax.fori_loop(0, iters, body, c2v)
-        tot, _ = totals_of(c2v)
+            tot, _ = jax.lax.fori_loop(0, iters, body, (tot, c2v))
         total = tot.reshape(B, self.n)
         bits = (total < 0).astype(jnp.uint8)
         return bits[:, : self.k].reshape(*lead, self.k)

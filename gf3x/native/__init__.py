@@ -50,8 +50,8 @@ class NativeLdpc:
     """Host C++ codec for the same code family as `gf3x.fec.ldpc.LdpcCode`.
 
     Shares the base matrix and parity projector with the Python/JAX side
-    (single source of truth), runs the identical flooding normalized
-    min-sum schedule in float32.
+    (single source of truth), runs the identical layered (block-row-serial)
+    normalized min-sum schedule in float32.
     """
 
     def __init__(self, z: int, alpha: float = 0.8):

@@ -49,15 +49,21 @@ void gf3x_ldpc_encode(const uint8_t* P, int m, int k,
   }
 }
 
-// Flooding normalized min-sum decode (alpha = 0.8), the same schedule as
-// gf3x.fec.ldpc (first-argmin tie-breaking), float32 messages.
-// edges: n_edges pairs (check_idx, var_idx), grouped arbitrarily; llr is
-// (n_cw × n) with positive => bit 0. out_bits is (n_cw × n) hard decisions
-// of the final totals (caller slices the systematic k).
+// Layered (check-serial) normalized min-sum decode (alpha = 0.8), the same
+// schedule as gf3x.fec.ldpc (first-argmin tie-breaking), float32 messages:
+// each check reads the CURRENT variable totals — already updated by this
+// iteration's earlier checks — and writes its message delta back
+// immediately. Checks ascend in block-row-major order, and within one
+// block row of the QC code the z checks touch disjoint variables, so this
+// per-check schedule is exactly the block-LAYERED schedule of the
+// NumPy/JAX/Pallas twins (bit-identical decodes); vs flooding it roughly
+// halves the iterations to convergence.
+// edges: n_edges pairs (check_idx, var_idx); llr is (n_cw × n) with
+// positive => bit 0. out_bits is (n_cw × n) hard decisions of the final
+// totals (caller slices the systematic k).
 // early_exit != 0 stops a codeword at the first pass whose totals already
-// satisfy every check (the shared freeze rule — bit-identical to the
-// NumPy/JAX/Pallas twins; `iters` becomes the maximum).
-// Returns the number of codewords whose syndrome is zero on exit.
+// satisfy every check (the shared freeze rule; `iters` becomes the
+// maximum). Returns the number of codewords whose syndrome is zero on exit.
 int gf3x_ldpc_decode(const int32_t* edge_chk, const int32_t* edge_var,
                      int n_edges, int n_chk, int n_var,
                      const float* llr, int n_cw, int iters,
@@ -76,11 +82,9 @@ int gf3x_ldpc_decode(const int32_t* edge_chk, const int32_t* edge_var,
   for (int w = 0; w < n_cw; ++w) {
     const float* lam = llr + (size_t)w * n_var;
     std::fill(c2v.begin(), c2v.end(), 0.0f);
+    for (int v = 0; v < n_var; ++v) total[v] = lam[v];
 
     for (int it = 0; it < iters; ++it) {
-      // variable totals
-      for (int v = 0; v < n_var; ++v) total[v] = lam[v];
-      for (int e = 0; e < n_edges; ++e) total[edge_var[e]] += c2v[e];
       if (early_exit) {
         int violated = 0;
         for (int c = 0; c < n_chk && !violated; ++c) {
@@ -91,7 +95,10 @@ int gf3x_ldpc_decode(const int32_t* edge_chk, const int32_t* edge_var,
         }
         if (!violated) break;
       }
-      // check update (flooding: v2c from the totals of the previous pass)
+      // layered check update: v2c from the CURRENT totals; the delta goes
+      // back into the totals immediately (within one check every edge has
+      // a distinct variable, so pass 2's v2c recomputation still sees the
+      // pre-update totals for its own edge)
       for (int c = 0; c < n_chk; ++c) {
         const int lo = off[c], hi = off[c + 1];
         float m1 = 1e30f, m2 = 1e30f;
@@ -110,16 +117,13 @@ int gf3x_ldpc_decode(const int32_t* edge_chk, const int32_t* edge_var,
           const float v2c = total[edge_var[e]] - c2v[e];
           const float sgn = (v2c < 0 ? -1.0f : 1.0f) * sgn_prod;
           const float mag = (t == am) ? m2 : m1;
-          // NOTE: c2v written after all v2c of this check are derived from
-          // the same stale totals; totals are only rebuilt next iteration,
-          // matching the JAX flooding schedule.
-          c2v[e] = alpha * sgn * mag;
+          const float nw = alpha * sgn * mag;
+          total[edge_var[e]] += nw - c2v[e];
+          c2v[e] = nw;
         }
       }
     }
 
-    for (int v = 0; v < n_var; ++v) total[v] = lam[v];
-    for (int e = 0; e < n_edges; ++e) total[edge_var[e]] += c2v[e];
     uint8_t* bits = out_bits + (size_t)w * n_var;
     for (int v = 0; v < n_var; ++v) bits[v] = total[v] < 0.0f;
 

@@ -13,15 +13,20 @@ static: the edge structure is Python-unrolled into the kernel body (~76
 edges), exactly mirroring the XLA twin's schedule so decoded bits are
 bit-identical.
 
-Early termination (`early_exit=True`, the default): before each message
-update the kernel computes every lane's syndrome from the current totals;
-lanes whose checks are all satisfied freeze (their messages stop updating,
-so their decode equals the first zero-syndrome pass regardless of batch
-composition — the same rule as the NumPy/XLA/C++ twins), and a
-`lax.while_loop` exits once the whole 128-lane block is frozen. The
-syndrome's rolled totals double as the v2c terms via the exact identity
-roll(tot − roll(c2v, s), −s) = roll(tot, −s) − c2v, so the per-iteration
-roll count matches the fixed-iteration kernel.
+The schedule is LAYERED (block-row-serial): the totals live in VMEM and
+each block row's message delta is applied to them immediately, so later
+rows of the same iteration see it — roughly half the iterations to
+convergence of the flooding schedule at the same rolls per edge (one for
+v2c, one for the totals update). All four backends (NumPy golden, XLA,
+this kernel, C++) share the exact layer order and tie-breaking, so
+decoded bits are bit-identical.
+
+Early termination (`early_exit=True`, the default): before each sweep the
+kernel computes every lane's syndrome from the current totals; lanes whose
+checks are all satisfied freeze (messages AND totals stop updating, so
+their decode equals the first zero-syndrome pass regardless of batch
+composition — the same rule as the twins), and a `lax.while_loop` exits
+once the whole 128-lane block is frozen.
 """
 
 from __future__ import annotations
@@ -47,21 +52,9 @@ def _kernel(lam_ref, out_ref, c2v_ref, tot_ref, *, z: int, iters: int,
             edges, rows, by_col, early_exit: bool):
     E = len(edges)
 
-    def contrib(e):
-        # check order → variable order: msg_var[v] = msg_chk[(v − s) mod z]
-        _, _, s = edges[e]
-        return pltpu.roll(c2v_ref[e], s, 0)
-
     def negroll(x, s):
         # variable order → check order: y[c] = x[(c + s) mod z]
         return pltpu.roll(x, z - s if s else 0, 0)
-
-    def compute_totals():
-        for j in range(N_BLOCK_COLS):
-            acc = lam_ref[j]
-            for e in by_col[j]:
-                acc = acc + contrib(e)
-            tot_ref[j] = acc
 
     def _first_at(mag, d, m1):
         # True where edge d is the FIRST row edge attaining the minimum —
@@ -71,13 +64,16 @@ def _kernel(lam_ref, out_ref, c2v_ref, tot_ref, *, z: int, iters: int,
             earlier = earlier | (mag[dd] == m1)
         return jnp.logical_not(earlier)
 
-    def update_rows(frozen):
-        """One flooding check-node pass over all rows; lanes where `frozen`
-        (1, LANES bool, or None) keep their previous messages."""
+    def sweep(frozen):
+        """One LAYERED iteration: each block row reads the totals already
+        updated by this iteration's earlier rows and writes its message
+        delta straight back — roughly half the iterations to convergence of
+        the flooding schedule, same rolls per edge (one for v2c, one for
+        the totals update). `frozen` ((1, LANES) bool or None) lanes keep
+        messages AND totals."""
         for i in range(N_BLOCK_ROWS):
             row = rows[i]
-            # v2c in check order: roll(tot, −s) − c2v  (exact roll identity;
-            # c2v_ref entries of this row are read before any write below)
+            # v2c in check order from the CURRENT totals
             v2c = [negroll(tot_ref[j], s) - c2v_ref[e] for (e, j, s) in row]
             mag = [jnp.abs(v) for v in v2c]
             sgn = [jnp.where(v < 0, -1.0, 1.0) for v in v2c]
@@ -98,10 +94,12 @@ def _kernel(lam_ref, out_ref, c2v_ref, tot_ref, *, z: int, iters: int,
                 exclude_min = (mag[d] == m1) & _first_at(mag, d, m1)
                 mins = jnp.where(exclude_min, m2, m1)
                 new = _ALPHA * (prod * sgn[d]) * mins
-                if frozen is None:
-                    c2v_ref[e] = new
-                else:
-                    c2v_ref[e] = jnp.where(frozen, c2v_ref[e], new)
+                delta = new - c2v_ref[e]
+                if frozen is not None:
+                    delta = jnp.where(frozen, 0.0, delta)
+                c2v_ref[e] = c2v_ref[e] + delta
+                # check order → variable order: contribution shifts by +s
+                tot_ref[j] = tot_ref[j] + pltpu.roll(delta, s, 0)
 
     def unsat_lanes():
         """(1, LANES) bool: any parity check of the current totals' hard
@@ -118,6 +116,8 @@ def _kernel(lam_ref, out_ref, c2v_ref, tot_ref, *, z: int, iters: int,
 
     for e in range(E):
         c2v_ref[e] = jnp.zeros_like(c2v_ref[e])
+    for j in range(N_BLOCK_COLS):
+        tot_ref[j] = lam_ref[j]
 
     if early_exit:
         def cond(state):
@@ -126,20 +126,17 @@ def _kernel(lam_ref, out_ref, c2v_ref, tot_ref, *, z: int, iters: int,
 
         def body(state):
             it, _ = state
-            compute_totals()
             frozen = jnp.logical_not(unsat_lanes())
-            update_rows(frozen)
+            sweep(frozen)
             return it + 1, jnp.all(frozen)
 
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
     else:
         def body(_, carry):
-            compute_totals()
-            update_rows(None)
+            sweep(None)
             return carry
 
         jax.lax.fori_loop(0, iters, body, 0)
-    compute_totals()
     for j in range(N_BLOCK_COLS):
         out_ref[j] = tot_ref[j]
 
