@@ -47,8 +47,6 @@ class _Tables:
     edge_col: np.ndarray      # (12, Dmax) int32 — block column (24 = dummy)
     edge_shift: np.ndarray    # (12, Dmax) int32
     edge_valid: np.ndarray    # (12, Dmax) bool
-    to_var_idx: np.ndarray    # (12, Dmax, z) int32: check-order -> var-order gather
-    to_chk_idx: np.ndarray    # (12, Dmax, z) int32: var-order -> check-order gather
     P: np.ndarray             # (m, k) uint8 — GF(2) parity projector
 
 
@@ -65,15 +63,8 @@ def _tables(z: int) -> _Tables:
     for i, r in enumerate(by_row):
         for d, (j, s) in enumerate(r):
             col[i, d], shf[i, d], val[i, d] = j, s, True
-    c = np.arange(z, dtype=np.int32)
-    # check c ↔ variable v = (c + s) mod z:
-    #   msg_in_var_order[v]  = msg_in_chk_order[(v − s) mod z]
-    #   msg_in_chk_order[c]  = msg_in_var_order[(c + s) mod z]
-    to_var = (c[None, None, :] - shf[..., None]) % z
-    to_chk = (c[None, None, :] + shf[..., None]) % z
     return _Tables(
         z=z, dmax=dmax, edge_col=col, edge_shift=shf, edge_valid=val,
-        to_var_idx=to_var.astype(np.int32), to_chk_idx=to_chk.astype(np.int32),
         P=gf2_solve_parity(z),
     )
 

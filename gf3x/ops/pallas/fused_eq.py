@@ -39,21 +39,28 @@ LANES = 128
 def fused_shapes_ok(cfg: ModemConfig, B: int) -> bool:
     """Whether the fused kernel is safe + worthwhile at batch B.
 
-    XLA places a custom call's whole operand/result buffers in scoped VMEM
-    when they fit under its 16 MB limit; a 64-QAM LLR output at one padded
-    lane block (D=20 × 1472 bits × 128 lanes × 4 B ≈ 15 MB) fits alone but
-    OOMs combined with the inputs. Keep the kernel only when the result is
-    either comfortably small (everything fits with room) or clearly
-    HBM-sized; the window between routes to the XLA twin — which is also
-    the faster path at tiny batches, where padding to 128 lanes wastes
-    almost the whole kernel.
+    XLA places a custom call's operand/result buffers in scoped VMEM when
+    they fall under a per-buffer size threshold (observed on v5e: a 30 MB
+    64-QAM LLR output was scoped — and OOMed the 16 MB scoped limit — while
+    the 40.6 MB QPSK-at-B=1024 one was not, consistent with a 32 MiB cut).
+    Keep the kernel only when the buffers XLA might scope (anything under
+    32 MiB) sum to well within the 16 MB limit; otherwise
+    route to the XLA twin — which is also the faster path at tiny batches,
+    where padding to 128 lanes wastes almost the whole kernel.
     """
     Bp = -(-B // LANES) * LANES
     LP = -(-cfg.n_data_bins * cfg.bits_per_symbol // 8) * 8
-    out_bytes = cfg.n_data_symbols * (LP + 8) * Bp * 4
-    in_bytes = cfg.n_data_symbols * 2 * cfg.n_used * Bp * 4
-    tot = out_bytes + in_bytes
-    return tot <= (6 << 20) or out_bytes >= (24 << 20)
+    D, U = cfg.n_data_symbols, cfg.n_used
+    bufs = [
+        D * 2 * U * Bp * 4,        # y_ri
+        2 * U * Bp * 4,            # h_ri
+        8 * Bp * 4,                # nv
+        2 * cfg.n_pilots * 4,      # pilot values
+        D * LP * Bp * 4,           # llr out
+        D * 8 * Bp * 4,            # diag out
+    ]
+    maybe_scoped = sum(b for b in bufs if b < (32 << 20))
+    return maybe_scoped <= (8 << 20)
 
 
 def _atan2(y, x):
