@@ -111,3 +111,19 @@ def test_early_exit_matches_across_backends_and_batchings():
                                      early_exit=False)
     assert it_fixed == 30
     assert np.array_equal(nb_fixed, nb)
+
+
+def test_layered_converges_faster_than_flooding_budget():
+    """Convergence-speed regression guard for the layered schedule: at a
+    near-threshold operating point the batch converges well inside the
+    iteration budget the flooding schedule needed (~20 at 2.0 dB Eb/N0)."""
+    code = LdpcCode(96)
+    rng = np.random.default_rng(20)
+    sigma = float(np.sqrt(1.0 / (2 * 0.5 * 10 ** (2.0 / 10))))
+    u = rng.integers(0, 2, (64, code.k), dtype=np.uint8)
+    c = code.encode(u)
+    y = (1.0 - 2.0 * c) + rng.normal(0, sigma, c.shape)
+    llr = (2 * y / sigma**2).astype(np.float32)
+    bits, it_run = code.decode(llr, 25)
+    assert np.array_equal(bits, u)
+    assert it_run <= 14, f"layered convergence regressed: {it_run} iterations"
