@@ -51,3 +51,31 @@ def test_golden_also_decodes_single_frame_captures():
         res = g.decode(rx.astype("float64"))
         assert res.crc_ok
         assert hashlib.sha256(res.payload).hexdigest() == cap["payload_sha256"]
+
+
+def test_realistic_room_combined_impairments():
+    """All impairment axes at once — the honest 'bad real room' case the
+    per-axis sweeps (docs/ROBUSTNESS.md) cannot show: reverb + clock
+    offset + speaker clipping + delay + 12 dB SNR, decoded with the
+    default sfo='auto' policy on golden and JAX paths."""
+    import numpy as np
+
+    from gf3x import GF3_STANDARD, GoldenModem, Modem
+    from gf3x.channel import (awgn, clip, delay_gain, multipath,
+                              resample_sfo, room_impulse_response)
+
+    m = Modem(GF3_STANDARD)
+    rng = np.random.default_rng(99)
+    payload = bytes(rng.integers(0, 256, 420, dtype=np.uint8))
+    wav = m.encode(payload, "room.bin").astype(np.float64)
+
+    x = multipath(wav, room_impulse_response(rng, rt60=0.08, drr_db=5.0))
+    x = resample_sfo(x, 150.0)                       # consumer soundcard pair
+    x = clip(x, 0.5 * float(np.max(np.abs(x))))      # cheap speaker limiter
+    T = m.cfg.frame_len + 12000
+    rx = awgn(delay_gain(x[: T - 3000], 3000, 0.5, total_len=T), 12.0, rng)
+
+    res = m.decode(rx.astype(np.float32))
+    assert res.crc_ok and res.payload == payload
+    g = GoldenModem(GF3_STANDARD).decode(rx)
+    assert g.crc_ok and g.payload == payload
