@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["gather_cut_tpu", "gather_cut_group_tpu", "MAX_STAGE_BYTES"]
 
 _INFLIGHT = 16            # rolling DMA window depth (per-row kernel)
-MAX_STAGE_BYTES = 4 << 20  # staging budget: 2 slots × 8 rows × Tp × 4 B
+MAX_STAGE_BYTES = 8 << 20  # staging budget: 2 slots × 8 rows × Tf × 4 B (≈3 s of audio)
 
 
 def _group_kernel(q_ref, rxp_ref, out_ref, s0, s1, sem0, sem1,
