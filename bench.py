@@ -76,14 +76,12 @@ def matmul_flops_per_frame(cfg, search_len: int) -> float:
     two full-recording-grid FFT extractions with a block gather, trading
     MXU FLOPs for wall clock.)"""
     from gf3x.ops.mmfft import _split, good_mm_size
+    from gf3x.ops.sync import bounded_sync_nfft
 
-    dec = 2
-    seg = (search_len + cfg.chirp_len) // dec
-    # bounded-search correlation FFT: next_pow2(max(seg, lags + chirp_d))
-    # (only wraparound-free lags are read — see find_frame_start)
-    chirp_d = -(-cfg.chirp_len // dec)
-    lags = search_len // dec
-    nfft = 1 << int(np.ceil(np.log2(max(2, max(seg, lags + chirp_d)))))
+    # the same FFT-length rule the receiver's sync actually uses (exported
+    # helper — a private copy here drifted once already)
+    nfft = bounded_sync_nfft(cfg.frame_len + search_len, search_len,
+                             cfg.chirp_len, decimate=2)
     flops = 0.0
     if good_mm_size(nfft):
         h = nfft // 2

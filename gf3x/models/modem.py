@@ -410,16 +410,20 @@ class Modem:
         the pilot fits come out clean; the slopes themselves still measure
         the full timing drift 2πδ·symbol_len·d/N, i.e. δ itself, NOT the
         residual vs d0.) Returns a traced SCALAR δ̂ — one shared TX/RX
-        clock pair per jit call; batch rows are averaged."""
+        clock pair per jit call; batch rows combine by MEDIAN, so one
+        burst-destroyed frame's garbage slopes cannot drag the shared
+        estimate outside the usable range and waste the whole retry
+        (equals the mean at batch 1, so the golden single-frame twin stays
+        in parity)."""
         from ..ops.sfo import sc_clock_offset, slope_clock_offset
 
         cfg = self.cfg
         if sc_win is not None:
-            d0 = jnp.mean(sc_clock_offset(cfg, sc_win))
+            d0 = jnp.median(sc_clock_offset(cfg, sc_win))
         else:
             d0 = jnp.float32(0.0)
         _, (_, _, slope_a, _, _) = self._demod_syms(syms, delta=d0, roll=roll)
-        return jnp.mean(slope_clock_offset(cfg, slope_a))
+        return jnp.median(slope_clock_offset(cfg, slope_a))
 
     def _demod_synced(self, rx: jnp.ndarray, start: jnp.ndarray,
                       metric: jnp.ndarray,

@@ -10,6 +10,7 @@ and all detected frames decode in ONE batched jit call.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -105,6 +106,25 @@ def merge_streams(*results: "StreamResult") -> "StreamResult":
                         missing=missing)
 
 
+@functools.lru_cache(maxsize=None)
+def _mf_jit(cfg, streaming_chunk):
+    """ONE persistent jitted matched filter per (config, chunking) — a
+    fresh `jax.jit(lambda ...)` per call would retrace and recompile on
+    every invocation even at identical shapes (each wrapper owns its own
+    cache), which made the live StreamingReceiver pay a full XLA compile
+    per fed chunk."""
+    from ..ops.chirp import make_chirp
+    from ..ops.sync import streaming_matched_filter
+
+    chirp = make_chirp(cfg)
+    if streaming_chunk:
+        # overlap-save path: O(chunk) device memory for arbitrarily long
+        # recordings (SURVEY.md §6.7)
+        return jax.jit(lambda r: streaming_matched_filter(r, chirp,
+                                                          streaming_chunk))
+    return jax.jit(lambda r: matched_filter(r, chirp))
+
+
 def find_frames(
     modem: Modem,
     rx: np.ndarray,
@@ -123,17 +143,9 @@ def find_frames(
     (A bare peak/median ratio cannot: data symbols correlate at 10×+ the
     floor on long recordings.)
     """
-    from ..ops.sync import streaming_matched_filter
-
     cfg = modem.cfg
     rx32 = np.asarray(rx, dtype=np.float32)
-    if streaming_chunk:
-        # overlap-save path: O(chunk) device memory for arbitrarily long
-        # recordings (SURVEY.md §6.7)
-        mf = jax.jit(lambda r: streaming_matched_filter(r, modem.chirp,
-                                                        streaming_chunk))
-    else:
-        mf = jax.jit(lambda r: matched_filter(r, modem.chirp))
+    mf = _mf_jit(cfg, streaming_chunk)
     mabs = np.abs(np.asarray(mf(jnp.asarray(rx32))))
     L = cfg.chirp_len
     ce = float(np.sum(modem.chirp**2))
@@ -172,24 +184,34 @@ def _device_frame_scan(modem: Modem, rx32: np.ndarray, seg_len: int,
     NCC, its refined first-arrival index, and its raw argmax. Host-side
     greedy clustering on segments replaces sample-level peak picking.
     """
+    sv, fi, gp = _frame_scan_jit(modem.cfg, seg_len, streaming_chunk)(
+        jnp.asarray(rx32))
+    return np.asarray(sv), np.asarray(fi), np.asarray(gp)
+
+
+@functools.lru_cache(maxsize=None)
+def _frame_scan_jit(cfg, seg_len: int, streaming_chunk: Optional[int]):
+    """Persistent jitted per-segment scan (see `_mf_jit` for why one
+    wrapper per signature matters); recording-length-dependent constants
+    derive from the traced shape."""
+    from ..ops.chirp import make_chirp
     from ..ops.sync import streaming_matched_filter
 
-    cfg = modem.cfg
-    T = len(rx32)
-    n_seg = -(-T // seg_len)
-    Tp = n_seg * seg_len
+    chirp = make_chirp(cfg)
     L = cfg.chirp_len
-    ce = float(np.sum(modem.chirp**2))
+    ce = float(np.sum(chirp**2))
     W = cfg.cp + 1
-
     ones = np.ones(L, dtype=np.float64)
 
     def scan(rx):
+        T = rx.shape[-1]
+        n_seg = -(-T // seg_len)
+        Tp = n_seg * seg_len
         if streaming_chunk:
             mf = lambda x, h: streaming_matched_filter(x, h, streaming_chunk)
         else:
             mf = matched_filter
-        mabs = jnp.abs(mf(rx, modem.chirp))
+        mabs = jnp.abs(mf(rx, chirp))
         # window energy = correlation of x² with a ones kernel — same
         # machinery as the matched filter. (A float32 cumsum difference
         # catastrophically cancels on long recordings: cs grows to the total
@@ -216,8 +238,7 @@ def _device_frame_scan(modem: Modem, rx32: np.ndarray, seg_len: int,
         firsts = jax.vmap(refine)(gpos)
         return seg_val, firsts, gpos
 
-    sv, fi, gp = jax.jit(scan)(jnp.asarray(rx32))
-    return np.asarray(sv), np.asarray(fi), np.asarray(gp)
+    return jax.jit(scan)
 
 
 def find_frames_device(

@@ -247,6 +247,10 @@ def cut_symbols_tpu(rxp: jnp.ndarray, q: jnp.ndarray, block: int, S: int,
     Tf = (T // block) * block
     Ws = Tf + 8 * block
     assert B % 8 == 0
+    # sc_off < 0 (no Schmidl–Cox symbol): shrink the never-written second
+    # output to one lane tile instead of hauling (B, n_fft) of uninitialized
+    # VMEM back to HBM every grid step
+    n_sc = n_fft if sc_off >= 0 else 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // 8,),
@@ -254,7 +258,7 @@ def cut_symbols_tpu(rxp: jnp.ndarray, q: jnp.ndarray, block: int, S: int,
         out_specs=(
             pl.BlockSpec((8, S, n_fft), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n_fft), lambda g, *_: (g, 0),
+            pl.BlockSpec((8, n_sc), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -271,7 +275,7 @@ def cut_symbols_tpu(rxp: jnp.ndarray, q: jnp.ndarray, block: int, S: int,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, S, n_fft), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_fft), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_sc), jnp.float32),
         ),
         interpret=interpret,
     )(q.astype(jnp.int32), rxp)

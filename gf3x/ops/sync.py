@@ -29,6 +29,7 @@ __all__ = [
     "sc_metric_at",
     "sc_metric_window",
     "sync_nfft",
+    "bounded_sync_nfft",
     "rx_spectrum",
     "extract_windows_spec",
 ]
@@ -41,6 +42,26 @@ def _next_pow2(n: int) -> int:
 def sync_nfft(T: int, chirp_len: int) -> int:
     """Static FFT length for linear (non-circular) correlation."""
     return _next_pow2(T + chirp_len)
+
+
+def bounded_sync_nfft(T: int, search_len: int, chirp_len: int,
+                      decimate: int = 1) -> int:
+    """The correlation FFT length `find_frame_start` uses for a bounded
+    (and optionally decimated) search on a length-T recording — exported so
+    consumers that account its cost (bench.py's FLOPs model) cannot drift
+    from the implementation. Only lags < search_len are read, so the length
+    is next_pow2(max(len(seg), n_lags + len(chirp))) — wraparound-free for
+    every read lag and, in the streaming case, HALF the general linear
+    length next_pow2(T + chirp)."""
+    S = min(search_len, T)
+    seg_len = min(S + chirp_len, T)
+    if decimate > 1:
+        seg_len = -(-seg_len // decimate)
+        chirp_len = -(-chirp_len // decimate)
+        n_lags = min(S // decimate, seg_len)
+    else:
+        n_lags = min(S, seg_len)
+    return _next_pow2(max(seg_len, n_lags + chirp_len))
 
 
 def rx_spectrum(rx: jnp.ndarray, nfft: int) -> jnp.ndarray:
@@ -302,16 +323,14 @@ def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray,
     if search_len is not None:
         S = min(search_len, rx.shape[-1])
         seg = rx[..., : min(S + len(chirp), rx.shape[-1])]
+        # only lags < S (/decimate) are candidates → wraparound-free FFT of
+        # bounded_sync_nfft's length (half the general linear size in the
+        # streaming case)
+        F = bounded_sync_nfft(rx.shape[-1], search_len, len(chirp), decimate)
         if decimate > 1:
             seg = seg[..., ::decimate]
             c_d = chirp[::decimate]
-            # only lags < S/decimate are candidates, so the correlation FFT
-            # needs next_pow2(max(len(seg), n_lags + len(chirp))) — lags up
-            # to F − len(chirp) are wraparound-free. In the streaming case
-            # (seg = S + chirp) that is next_pow2(len(seg)): HALF the
-            # general linear-correlation length next_pow2(T + chirp).
             n_lags = min(S // decimate, seg.shape[-1])
-            F = _next_pow2(max(seg.shape[-1], n_lags + len(c_d)))
             mabs_d = jnp.abs(matched_filter(seg, c_d, nfft=F))[..., :n_lags]
             peak = jnp.argmax(mabs_d, axis=-1).astype(jnp.int32)
             peak_val = jnp.max(mabs_d, axis=-1)
@@ -320,7 +339,6 @@ def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray,
             metric = peak_val / (jnp.mean(mabs_d, axis=-1) + 1e-12)
             return (decimate * start).astype(jnp.int32), metric
         n_lags = min(S, seg.shape[-1])
-        F = _next_pow2(max(seg.shape[-1], n_lags + len(chirp)))
         mabs = jnp.abs(matched_filter(seg, chirp, nfft=F))[..., :n_lags]
     elif R is not None:
         mabs = jnp.abs(matched_filter_spec(R, chirp, rx.shape[-1], nfft))

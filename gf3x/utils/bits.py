@@ -98,7 +98,9 @@ def safe_filename(name: str, default: str = "decoded.bin") -> str:
     names, and fall back to `default`.
     """
     name = (name or "").replace("\\", "/").split("/")[-1].strip()
-    if not name or name in (".", "..") or "\x00" in name:
+    # a Windows drive-relative name like "C:evil" has no separator but
+    # still escapes `outdir / name` there — reject any colon
+    if not name or name in (".", "..") or "\x00" in name or ":" in name:
         return default
     return name
 
