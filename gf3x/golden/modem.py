@@ -424,7 +424,7 @@ class GoldenModem:
         pilot-slope residual → final warped demod), twin of
         `Modem.demodulate_sfo`.
         """
-        from ..ops.sfo import SLOPE_PPM_RANGE
+        from ..ops.sfo import auto_retry_needed, prefer_retry
 
         c = self.cfg
         rx = np.asarray(rx, dtype=np.float64)
@@ -457,10 +457,10 @@ class GoldenModem:
             else:
                 res = self._finish(*demod(0.0))
                 if (sfo == "auto" and c.use_schmidl_cox
-                        and (not res.crc_ok
-                             or abs(res.diag["clock_ppm"]) > SLOPE_PPM_RANGE)):
+                        and auto_retry_needed(res.crc_ok,
+                                              res.diag["clock_ppm"])):
                     retry = self._finish(*demod(correction_delta()))
-                    if retry.crc_ok or not res.crc_ok:
+                    if prefer_retry(res.crc_ok, retry.crc_ok):
                         res = retry
         except ValueError:
             # no (complete) frame at the sync position — failed decode, not a crash

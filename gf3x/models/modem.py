@@ -305,13 +305,18 @@ class Modem:
             data, _, _ = self._eq_syms(syms, roll=roll)
             return jnp.stack([data.real, data.imag], axis=-1)
 
+        # cached jits (a fresh jax.jit per call would recompile every time)
         if start is None:
             def fn_sync(r):
                 s, _ = find_frame_start(self.cfg, r, self.chirp)
                 return fn(r, s)
-            out = jax.jit(fn_sync)(rx)
+            if "eqsym_sync" not in self._jit_cache:
+                self._jit_cache["eqsym_sync"] = jax.jit(fn_sync)
+            out = self._jit_cache["eqsym_sync"](rx)
         else:
-            out = jax.jit(fn)(rx, jnp.int32(start))
+            if "eqsym_at" not in self._jit_cache:
+                self._jit_cache["eqsym_at"] = jax.jit(fn)
+            out = self._jit_cache["eqsym_at"](rx, jnp.int32(start))
         out = np.asarray(out)
         return (out[..., 0] + 1j * out[..., 1]).astype(np.complex64)
 
@@ -560,7 +565,7 @@ class Modem:
         (default) retries through it when the plain decode fails CRC or
         reports |clock_ppm| beyond the plain receiver's reliable range
         (real soundcard pairs drift 50–200 ppm)."""
-        from ..ops.sfo import SLOPE_PPM_RANGE
+        from ..ops.sfo import auto_retry_needed, prefer_retry
 
         if sync not in ("chirp", "sc"):
             raise ValueError(f"unknown sync method {sync!r}; use 'chirp' or 'sc'")
@@ -588,10 +593,9 @@ class Modem:
             bits, diag = jit_of("chirp", self.demodulate)(rx)
         res = self._result(np.asarray(bits), self._host_diag(jax.device_get(diag)))
         if (sfo == "auto" and self.cfg.use_schmidl_cox
-                and (not res.crc_ok
-                     or abs(float(np.max(np.abs(res.diag.clock_ppm)))) > SLOPE_PPM_RANGE)):
+                and auto_retry_needed(res.crc_ok, res.diag.clock_ppm)):
             retry = self.decode(rx, start=start, sync=sync, sfo="on")
-            if retry.crc_ok or not res.crc_ok:
+            if prefer_retry(res.crc_ok, retry.crc_ok):
                 return retry
         return res
 

@@ -403,7 +403,7 @@ def decode_stream_windows(modem: Modem, windows: np.ndarray,
                           sfo: str = "auto") -> list[DecodeResult]:
     """Decode already-cut frame windows (B, frame_len) with the same
     sfo-'auto' retry policy as `decode_stream`."""
-    from ..ops.sfo import SLOPE_PPM_RANGE
+    from ..ops.sfo import auto_retry_needed, prefer_retry
 
     def run(correct: bool):
         if correct:
@@ -422,10 +422,9 @@ def decode_stream_windows(modem: Modem, windows: np.ndarray,
 
     results = run(sfo == "on")
     if (sfo == "auto" and modem.cfg.use_schmidl_cox
-            and any(not r.crc_ok
-                    or abs(float(np.asarray(r.diag.clock_ppm))) > SLOPE_PPM_RANGE
+            and any(auto_retry_needed(r.crc_ok, r.diag.clock_ppm)
                     for r in results)):
         retry = run(True)
-        results = [rt if rt.crc_ok or not r0.crc_ok else r0
+        results = [rt if prefer_retry(r0.crc_ok, rt.crc_ok) else r0
                    for r0, rt in zip(results, retry)]
     return results

@@ -33,12 +33,30 @@ import jax.numpy as jnp
 
 from ..config import ModemConfig, layout
 
-__all__ = ["sc_clock_offset", "slope_clock_offset", "SLOPE_PPM_RANGE"]
+__all__ = ["sc_clock_offset", "slope_clock_offset", "SLOPE_PPM_RANGE",
+           "auto_retry_needed", "prefer_retry"]
 
 #: |δ| (in ppm) beyond which the per-symbol pilot-slope fit starts aliasing
 #: on GF3-like geometry — measured: accurate to ~±400 ppm, collapses ~±600.
 #: Used as the "switch to the correction loop" threshold.
 SLOPE_PPM_RANGE = 350.0
+
+
+def auto_retry_needed(crc_ok: bool, clock_ppm) -> bool:
+    """The sfo='auto' retry trigger, shared by every decode path (Modem,
+    streaming windows, golden twin — one definition so the policy cannot
+    fork): retry through the correction loop when the plain decode failed
+    CRC or reported a clock offset beyond the plain receiver's reliable
+    range. `clock_ppm` may be a scalar or a per-row array (host side)."""
+    if not crc_ok:
+        return True
+    return float(np.max(np.abs(np.asarray(clock_ppm)))) > SLOPE_PPM_RANGE
+
+
+def prefer_retry(plain_crc_ok: bool, retry_crc_ok: bool) -> bool:
+    """Keep the corrected decode unless it failed while the plain one
+    succeeded (the shared merge rule of the sfo='auto' policy)."""
+    return bool(retry_crc_ok) or not plain_crc_ok
 
 
 @functools.lru_cache(maxsize=None)
