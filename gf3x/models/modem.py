@@ -280,16 +280,23 @@ class Modem:
         eq, slope, cpe = pilot_phase_correct(cfg, eq, H)
         pil, data = split_pilots(cfg, eq)                      # (..., D, n_data_bins)
         csi = jnp.abs(H) ** 2
-        w, _ = split_pilots(cfg, csi)                          # (..., P)
-        # per-SYMBOL noise from the pilot residuals: a time-localized hit
-        # (impulse, collision) makes that symbol's LLRs confidently WRONG
-        # under the global noise estimate; σ̂²_d = Σ_p w_p·|X̂_p − p|²/P
-        # (≈ σ²_d with CSI weighting) floors the per-symbol LLR scale so a
-        # burst symbol demaps as erasures instead (SURVEY.md §6.3 fault
-        # recovery; the interleaver then spreads what remains)
-        perr = jnp.abs(pil - jnp.asarray(lay.pilot_vals)) ** 2  # (..., D, P)
-        sig_d = jnp.sum(w[..., None, :] * perr, axis=-1) / cfg.n_pilots
-        nv_sym = jnp.maximum(noise_var[..., None], sig_d)      # (..., D)
+        if cfg.n_pilots:
+            w, _ = split_pilots(cfg, csi)                      # (..., P)
+            # per-SYMBOL noise from the pilot residuals: a time-localized hit
+            # (impulse, collision) makes that symbol's LLRs confidently WRONG
+            # under the global noise estimate; σ̂²_d = Σ_p w_p·|X̂_p − p|²/P
+            # (≈ σ²_d with CSI weighting) floors the per-symbol LLR scale so a
+            # burst symbol demaps as erasures instead (SURVEY.md §6.3 fault
+            # recovery; the interleaver then spreads what remains)
+            perr = jnp.abs(pil - jnp.asarray(lay.pilot_vals)) ** 2  # (..., D, P)
+            sig_d = jnp.sum(w[..., None, :] * perr, axis=-1) / cfg.n_pilots
+            nv_sym = jnp.maximum(noise_var[..., None], sig_d)  # (..., D)
+        else:
+            # pilotless config ("0 spacing disables pilots"): no residuals to
+            # floor on — the 0-pilot sum/0 division was a 0/0 → NaN-LLR bug
+            # (VERDICT r2 weak #1); the global LS noise estimate is all we have
+            nv_sym = jnp.broadcast_to(noise_var[..., None],
+                                      (*noise_var.shape, cfg.n_data_symbols))
         _, inv_csi = split_pilots(cfg, 1.0 / jnp.maximum(csi, 1e-12))
         nv_eff = nv_sym[..., None] * inv_csi[..., None, :]     # (..., D, n_data_bins)
         return data, nv_eff, (H, noise_var, slope, cpe)

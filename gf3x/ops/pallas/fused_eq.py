@@ -36,6 +36,16 @@ __all__ = ["fused_eq_demap_tpu", "fused_shapes_ok", "LANES"]
 LANES = 128
 
 
+def _chunk_divisor(cfg: ModemConfig, LP: int) -> int:
+    """Largest divisor of D whose per-grid-step in+out blocks stay within
+    ~2 MB of VMEM (×2 for double buffering); 0 when even one symbol's
+    blocks exceed the budget (very wide n_used/LP — route to the XLA twin)."""
+    per_sym = (2 * cfg.n_used + LP + 8) * LANES * 4
+    D = cfg.n_data_symbols
+    return max((d for d in range(1, D + 1)
+                if D % d == 0 and d * per_sym <= (4 << 20)), default=0)
+
+
 def fused_shapes_ok(cfg: ModemConfig, B: int) -> bool:
     """Whether the fused kernel is safe + worthwhile at batch B.
 
@@ -47,9 +57,18 @@ def fused_shapes_ok(cfg: ModemConfig, B: int) -> bool:
     32 MiB) sum to well within the 16 MB limit; otherwise
     route to the XLA twin — which is also the faster path at tiny batches,
     where padding to 128 lanes wastes almost the whole kernel.
+
+    Also requires ≥2 pilots (the in-kernel slope regression is meaningless
+    below that — degenerate configs take the XLA twin, whose
+    `pilot_phase_correct` no-ops cleanly) and a valid symbol-chunk divisor
+    (`_chunk_divisor`; an unguarded search raised on very wide configs).
     """
-    Bp = -(-B // LANES) * LANES
+    if cfg.n_pilots < 2:
+        return False
     LP = -(-cfg.n_data_bins * cfg.bits_per_symbol // 8) * 8
+    if _chunk_divisor(cfg, LP) == 0:
+        return False
+    Bp = -(-B // LANES) * LANES
     D, U = cfg.n_data_symbols, cfg.n_used
     bufs = [
         D * 2 * U * Bp * 4,        # y_ri
@@ -228,10 +247,10 @@ def fused_eq_demap_tpu(cfg: ModemConfig, y_ri: jnp.ndarray, h_ri: jnp.ndarray,
         lay.pilot_vals.imag.astype(np.float32)[:, None],
     ]))                                                           # (2, P, 1)
     # symbols per grid step: the largest D divisor whose in+out blocks stay
-    # within ~2 MB of VMEM (×2 for double buffering)
-    per_sym = (2 * n_used + LP + 8) * LANES * 4
-    dc = max(d for d in range(1, D + 1)
-             if D % d == 0 and d * per_sym <= (4 << 20))
+    # within ~2 MB of VMEM (×2 for double buffering). `fused_shapes_ok`
+    # routes configs with no valid divisor to the XLA twin before this runs;
+    # a direct caller on such a config falls back to one symbol per step.
+    dc = _chunk_divisor(cfg, LP) or 1
     grid = (D // dc, B // LANES)
     return pl.pallas_call(
         kern,

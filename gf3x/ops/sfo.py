@@ -128,6 +128,9 @@ def slope_clock_offset(cfg: ModemConfig, slopes: jnp.ndarray) -> jnp.ndarray:
     closed-form least-squares line through (d, slope_d) gives δ̂.
     """
     D = cfg.n_data_symbols
+    if D < 2:
+        # a single point fixes no line — report 0 rather than 0/0 NaN
+        return jnp.zeros(slopes.shape[:-1], jnp.float32)
     d = jnp.arange(D, dtype=jnp.float32)
     dc = d - jnp.mean(d)
     a = jnp.sum(dc * slopes, axis=-1) / jnp.sum(dc * dc)         # rad/bin per sym

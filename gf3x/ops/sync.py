@@ -190,6 +190,13 @@ def gather_cut(rx: jnp.ndarray, starts: jnp.ndarray, need: int,
     folds it into a post-FFT phase ramp (the CP absorbs the window shift),
     so no FFT pair is needed in the cut at all (`extract_windows_spec`
     remains for consumers that need the exact time-domain window).
+
+    BOUNDARY SEMANTICS: the cut reads only the whole-block PREFIX of the
+    recording — any window samples falling in the ragged tail
+    [floor(T/block)·block, T) or beyond read as ZEROS (not the recording's
+    tail samples), on every path. Clamp starts with `max_cut_start` to
+    guarantee a verbatim window; only windows butting the recording end
+    are affected.
     """
     from ..utils.device import computation_on_tpu
 
