@@ -112,11 +112,21 @@ class LdpcCode:
         stop updating, so their bits are those of the first zero-syndrome
         pass regardless of batch composition; the loop exits once every
         codeword is frozen (or `iters` passes ran)."""
+        bits, it_run, _ = self.decode_diag(llr, iters, early_exit)
+        return bits, it_run
+
+    def decode_diag(self, llr: np.ndarray, iters: int = 25,
+                    early_exit: bool = True):
+        """`decode` + per-codeword convergence diag: (info bits (..., k),
+        passes run (int), unsat (...,) bool — True where the final hard
+        decisions still violate a parity check, i.e. the decoder gave up)."""
         lead = llr.shape[:-1]
         lam = llr.reshape(-1, self.n).astype(np.float64)
         total, it_run = self._np_minsum(lam, iters, early_exit)
+        unsat = self.check((total < 0).astype(np.uint8)) > 0
         bits = (total < 0).astype(np.uint8)
-        return bits[..., : self.k].reshape(*lead, self.k), it_run
+        return (bits[..., : self.k].reshape(*lead, self.k), it_run,
+                unsat.reshape(lead))
 
     def _np_unsat(self, totals: np.ndarray) -> np.ndarray:
         """totals: (B, 25, z) (incl. dummy col) → (B,) bool, True where any
@@ -196,7 +206,7 @@ class LdpcCode:
 
     def decode_jax(self, llr: jnp.ndarray, iters: int,
                    use_pallas: bool | None = None,
-                   early_exit: bool = True) -> jnp.ndarray:
+                   early_exit: bool = True, with_diag: bool = False):
         """(..., n) float32 LLRs (positive ⇒ bit 0) → (..., k) uint8 info bits.
 
         Layered normalized min-sum, all shapes static. Leading dims are
@@ -216,6 +226,11 @@ class LdpcCode:
         as `decode`; `iters` becomes the maximum): at operating SNR most
         codewords converge in <10 of the 25 budgeted iterations, so the
         dominant decode cost roughly halves.
+
+        `with_diag=True` also returns (iters_run (...,) int32 — passes the
+        codeword's decode batch/block ran — and unsat (...,) bool — True
+        where the final hard decisions still violate a parity check): the
+        decoder-stress observability of SURVEY.md §6.5.
         """
         t, z = self.t, self.z
         lead = llr.shape[:-1]
@@ -229,13 +244,57 @@ class LdpcCode:
             Bp = -(-B // LANES) * LANES
             lam_t = lam.reshape(B, N_BLOCK_COLS, z).transpose(1, 2, 0)
             if Bp != B:
+                # pad lanes carry zero LLRs: their all-zero hard decisions
+                # satisfy every check, so they freeze immediately and cannot
+                # stall the shared early-exit loop
                 lam_t = jnp.pad(lam_t, ((0, 0), (0, 0), (0, Bp - B)))
-            tot = minsum_totals_tpu(lam_t, z, iters, early_exit)[..., :B]
-            total = tot.transpose(2, 0, 1).reshape(B, self.n)
-            bits = (total < 0).astype(jnp.uint8)
-            return bits[:, : self.k].reshape(*lead, self.k)
+            tot, diag = minsum_totals_tpu(lam_t, z, iters, early_exit)
+            total = tot[..., :B].transpose(2, 0, 1).reshape(B, self.n)
+            bits = (total < 0).astype(jnp.uint8)[:, : self.k].reshape(*lead, self.k)
+            if not with_diag:
+                return bits
+            return (bits, diag[1, :B].astype(jnp.int32).reshape(lead),
+                    (diag[0, :B] > 0.5).reshape(lead))
         lam_b = lam.reshape(B, N_BLOCK_COLS, z)                       # (B, 24, z)
+        tot, it_run, unsat = self._minsum_xla(lam_b, iters, early_exit)
+        total = tot.reshape(B, self.n)
+        bits = (total < 0).astype(jnp.uint8)[:, : self.k].reshape(*lead, self.k)
+        if not with_diag:
+            return bits
+        return (bits, jnp.broadcast_to(it_run, lead), unsat.reshape(lead))
 
+    def decode_lanes(self, lam_t: jnp.ndarray, iters: int,
+                     use_pallas: bool | None = None,
+                     early_exit: bool = True):
+        """Decode LLRs already in the TPU lanes layout: lam_t (24, z, L)
+        f32 (L codewords in lanes, L % 128 == 0 on the Pallas path) →
+        (hard totals (24, z, L) f32, iters_run (L,) int32, unsat (L,) bool).
+
+        The zero-relayout entry point for the fused receive tail: the demap
+        epilogue emits this layout with major-axis transposes only (the
+        batch stays in lanes end to end), and the caller slices info bits
+        from the returned totals. Bit-identical to `decode_jax` (same
+        schedule, same freeze rule).
+        """
+        _, z, L = lam_t.shape
+        assert z == self.z
+        if use_pallas is None:
+            from ..utils.device import computation_on_tpu
+            use_pallas = computation_on_tpu()
+        if use_pallas:
+            from ..ops.pallas.ldpc_bp import minsum_totals_tpu
+            tot, diag = minsum_totals_tpu(lam_t, z, iters, early_exit)
+            return tot, diag[1].astype(jnp.int32), diag[0] > 0.5
+        lam_b = lam_t.transpose(2, 0, 1)                              # (L, 24, z)
+        tot, it_run, unsat = self._minsum_xla(lam_b, iters, early_exit)
+        return (tot.transpose(1, 2, 0),
+                jnp.broadcast_to(it_run, (L,)), unsat)
+
+    def _minsum_xla(self, lam_b: jnp.ndarray, iters: int, early_exit: bool):
+        """The XLA (non-Pallas) layered min-sum core. lam_b: (B, 24, z) →
+        (totals (B, 24, z), passes run (scalar int32), unsat (B,) bool)."""
+        z = self.z
+        B = lam_b.shape[0]
         edges = build_H_blocks(z)                                     # row-major
         rows: list[list[tuple[int, int, int]]] = [[] for _ in range(N_BLOCK_ROWS)]
         for e, (i, j, s) in enumerate(edges):
@@ -296,14 +355,17 @@ class LdpcCode:
                 tot, c2v = sweep(tot, c2v, frozen)
                 return it + 1, jnp.all(frozen), tot, c2v
 
-            _, _, tot, _ = jax.lax.while_loop(
+            it, done, tot, _ = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), jnp.bool_(False), tot, c2v))
+            # the loop detects convergence one body late (frozen is computed
+            # inside the body, so the final body's sweep is a no-op): report
+            # the NumPy twin's count — sweeps that actually updated messages
+            it_run = it - done.astype(jnp.int32)
         else:
             def body(_, state):
                 tot, c2v = state
                 return sweep(tot, c2v, None)
 
             tot, _ = jax.lax.fori_loop(0, iters, body, (tot, c2v))
-        total = tot.reshape(B, self.n)
-        bits = (total < 0).astype(jnp.uint8)
-        return bits[:, : self.k].reshape(*lead, self.k)
+            it_run = jnp.int32(iters)
+        return tot, it_run, unsat_of(tot)

@@ -489,9 +489,13 @@ class GoldenModem:
         if c.fec == "ldpc":
             used = c.n_codewords * c.ldpc_n
             lw = llr[:used].reshape(c.n_codewords, c.ldpc_n)
-            info_bits, iters = self._ldpc.decode(lw, c.ldpc_iters)
+            info_bits, iters, unsat = self._ldpc.decode_diag(lw, c.ldpc_iters)
             bits = info_bits.reshape(-1)
             diag["ldpc_iters"] = iters
+            # codewords whose final hard decisions still violate a parity
+            # check — decoder stress short of CRC failure (twin of
+            # DecodeDiag.fec_unsat)
+            diag["fec_unsat"] = int(np.sum(unsat))
         else:
             bits = (llr < 0).astype(np.uint8)
         stream = bits_to_bytes(bits)

@@ -75,6 +75,7 @@ def fused_shapes_ok(cfg: ModemConfig, B: int) -> bool:
         2 * U * Bp * 4,            # h_ri
         8 * Bp * 4,                # nv
         2 * cfg.n_pilots * 4,      # pilot values
+        D * LP * 4,                # descrambler sign plane
         D * LP * Bp * 4,           # llr out
         D * 8 * Bp * 4,            # diag out
     ]
@@ -119,7 +120,7 @@ def _make_kernel(cfg: ModemConfig, LP: int):
     ]
     n_data = cfg.n_data_bins
 
-    def kernel(y_ref, h_ref, nv_ref, pv_ref, llr_ref, diag_ref):
+    def kernel(y_ref, h_ref, nv_ref, pv_ref, sign_ref, llr_ref, diag_ref):
         # static index ramps (pallas kernels cannot close over arrays;
         # tpu.iota is integer-only — cast after)
         kpil = (jax.lax.broadcasted_iota(jnp.int32, (n_pil, 1), 0)
@@ -132,10 +133,10 @@ def _make_kernel(cfg: ModemConfig, LP: int):
         # chunking cut the kernel 0.85 → ~0.4 ms at B=1024
         for s in range(y_ref.shape[0]):
             _one_symbol(y_ref[s, 0], y_ref[s, 1], h_ref, nv_ref, pvr, pvi,
-                        kpil, kk, llr_ref, diag_ref, s)
+                        kpil, kk, sign_ref, llr_ref, diag_ref, s)
 
     def _one_symbol(yr, yi, h_ref, nv_ref, pvr, pvi, kpil, kk,
-                    llr_ref, diag_ref, s):
+                    sign_ref, llr_ref, diag_ref, s):
         hr, hi = h_ref[0], h_ref[1]
         h2 = hr * hr + hi * hi
         inv = 1.0 / jnp.maximum(h2, 1e-12)
@@ -219,27 +220,39 @@ def _make_kernel(cfg: ModemConfig, LP: int):
         if pad:
             llr = jnp.concatenate(
                 [llr, jnp.zeros((pad, LANES), jnp.float32)], axis=0)
-        llr_ref[s] = llr
+        # demapper-confidence sum while the rows are VMEM-resident (saves
+        # the XLA-side 40 MB re-read for mean_abs_llr; sign flip below
+        # leaves |llr| unchanged, pad rows are zero)
+        sumabs = jnp.sum(jnp.abs(llr), axis=0, keepdims=True)     # (1, L)
+        # fold the channel-bit descrambler in: sign_ref[s] (LP, 1) is
+        # (1 − 2·scramble) in this symbol's bit layout, so the emitted LLRs
+        # are DESCRAMBLED — the FEC epilogue reads them with shape ops only
+        llr_ref[s] = llr * sign_ref[s]
 
         evm = jnp.mean(mdr + mdi, axis=0, keepdims=True)          # (1, L)
         diag_ref[s] = jnp.concatenate(
-            [a, b, evm, jnp.zeros((5, LANES), jnp.float32)], axis=0)
+            [a, b, evm, sumabs, jnp.zeros((4, LANES), jnp.float32)], axis=0)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
+@functools.partial(jax.jit, static_argnums=(0, 5))
 def fused_eq_demap_tpu(cfg: ModemConfig, y_ri: jnp.ndarray, h_ri: jnp.ndarray,
-                       nv: jnp.ndarray, interpret: bool = False):
+                       nv: jnp.ndarray, sign: jnp.ndarray,
+                       interpret: bool = False):
     """y_ri: (D, 2, n_used, B) data-symbol bins (re,im); h_ri: (2, n_used, B);
-    nv: (8, B) noise variance in row 0. B % 128 == 0.
+    nv: (8, B) noise variance in row 0; sign: (D, LP, 1) descrambler signs
+    (±1; 1.0 on pad rows — `Modem._descramble_sign_plane` builds it).
+    B % 128 == 0.
 
-    Returns (llr (D, LP, B) with LP = roundup(n_data_bins·bps, 8) — caller
-    slices/reshapes — and diag (D, 8, B): rows 0..2 = slope, cpe, evm).
+    Returns (llr (D, LP, B) with LP = roundup(n_data_bins·bps, 8), already
+    descrambled — caller slices/reshapes — and diag (D, 8, B): rows 0..3 =
+    slope, cpe, evm, Σ|llr|).
     """
     D, _, n_used, B = y_ri.shape
     assert B % LANES == 0
     LP = -(-cfg.n_data_bins * cfg.bits_per_symbol // 8) * 8
+    assert sign.shape == (D, LP, 1), sign.shape
     kern = _make_kernel(cfg, LP)
     lay = layout(cfg)
     pv_ri = jnp.asarray(np.stack([
@@ -264,6 +277,8 @@ def fused_eq_demap_tpu(cfg: ModemConfig, y_ri: jnp.ndarray, h_ri: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, cfg.n_pilots, 1), lambda d, g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, LP, 1), lambda d, g: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((dc, LP, LANES), lambda d, g: (d, 0, g),
@@ -276,4 +291,4 @@ def fused_eq_demap_tpu(cfg: ModemConfig, y_ri: jnp.ndarray, h_ri: jnp.ndarray,
             jax.ShapeDtypeStruct((D, 8, B), jnp.float32),
         ),
         interpret=interpret,
-    )(y_ri, h_ri, nv, pv_ri)
+    )(y_ri, h_ri, nv, pv_ri, sign)

@@ -48,8 +48,8 @@ _ALPHA = 0.8
 _BIG = np.float32(1e30)
 
 
-def _kernel(lam_ref, out_ref, c2v_ref, tot_ref, *, z: int, iters: int,
-            edges, rows, by_col, early_exit: bool):
+def _kernel(lam_ref, out_ref, diag_ref, c2v_ref, tot_ref, *, z: int,
+            iters: int, edges, rows, by_col, early_exit: bool):
     E = len(edges)
 
     def negroll(x, s):
@@ -130,22 +130,35 @@ def _kernel(lam_ref, out_ref, c2v_ref, tot_ref, *, z: int, iters: int,
             sweep(frozen)
             return it + 1, jnp.all(frozen)
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+        it, done = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.bool_(False)))
+        # convergence is detected one body late (the final body's sweep was
+        # a no-op): report the NumPy twin's count — sweeps that updated
+        it_run = it - done.astype(jnp.int32)
     else:
         def body(_, carry):
             sweep(None)
             return carry
 
         jax.lax.fori_loop(0, iters, body, 0)
+        it_run = jnp.int32(iters)
     for j in range(N_BLOCK_COLS):
         out_ref[j] = tot_ref[j]
+    # decoder-stress diag (SURVEY.md §6.5): row 0 = 1.0 where the lane's
+    # codeword still violates a parity check, row 1 = message-update passes
+    # this 128-lane block ran (its slowest unfrozen lane gates the loop)
+    lanes = diag_ref.shape[1]
+    diag_ref[...] = jnp.zeros((8, lanes), jnp.float32)
+    diag_ref[0:1] = unsat_lanes().astype(jnp.float32)
+    diag_ref[1:2] = jnp.full((1, lanes), 1.0) * it_run.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def minsum_totals_tpu(lam_t: jnp.ndarray, z: int, iters: int,
-                      early_exit: bool = True,
-                      interpret: bool = False) -> jnp.ndarray:
-    """lam_t: (24, z, B) f32 LLRs (B % 128 == 0) → final totals (24, z, B).
+                      early_exit: bool = True, interpret: bool = False):
+    """lam_t: (24, z, B) f32 LLRs (B % 128 == 0) → (totals (24, z, B),
+    diag (8, B): row 0 = unsat flag per lane, row 1 = passes run by the
+    lane's 128-lane grid block).
 
     Hard decision and info-bit slicing happen in the caller (XLA), keeping
     the kernel output layout tile-friendly. `interpret=True` runs the
@@ -176,9 +189,16 @@ def minsum_totals_tpu(lam_t: jnp.ndarray, z: int, iters: int,
             pl.BlockSpec((N_BLOCK_COLS, z, LANES), lambda g: (0, 0, g),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N_BLOCK_COLS, z, LANES), lambda g: (0, 0, g),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(lam_t.shape, jnp.float32),
+        out_specs=(
+            pl.BlockSpec((N_BLOCK_COLS, z, LANES), lambda g: (0, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(lam_t.shape, jnp.float32),
+            jax.ShapeDtypeStruct((8, B), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((E, z, LANES), jnp.float32),            # c2v messages
             pltpu.VMEM((N_BLOCK_COLS, z, LANES), jnp.float32), # column totals

@@ -95,10 +95,23 @@ def test_early_exit_matches_across_backends_and_batchings():
     assert np.array_equal(jb, nb)
 
     lam_t = jnp.asarray(llr).reshape(B, N_BLOCK_COLS, code.z).transpose(1, 2, 0)
-    tot = minsum_totals_tpu(lam_t, code.z, 30, True, True)
+    tot, pdiag = minsum_totals_tpu(lam_t, code.z, 30, True, True)
     total = np.asarray(tot).transpose(2, 0, 1).reshape(B, code.n)
     pb = (total < 0).astype(np.uint8)[:, : code.k]
     assert np.array_equal(pb, nb)
+    # the kernel's convergence diag matches the NumPy twin: same pass
+    # count for the (single) lane block, every lane satisfied
+    pdiag = np.asarray(pdiag)
+    assert int(pdiag[1, 0]) == it_run
+    assert not pdiag[0].any()
+
+    # lanes-layout entry point (the fused receive tail's path) —
+    # bit-identical, per-lane diag
+    ltot, lit, lunsat = code.decode_lanes(lam_t, 30, use_pallas=False)
+    ltotal = np.asarray(ltot).transpose(2, 0, 1).reshape(B, code.n)
+    assert np.array_equal((ltotal < 0).astype(np.uint8)[:, : code.k], nb)
+    assert not np.asarray(lunsat).any()
+    assert int(np.max(np.asarray(lit))) == it_run
 
     # batch-independence: each codeword alone decodes to the same bits
     for i in (0, 1, 63):

@@ -28,12 +28,16 @@ def test_ldpc_pallas_kernel_matches_xla(z):
     bits_xla = np.asarray(code.decode_jax(jnp.asarray(llr), 8, use_pallas=False))
 
     lam_t = jnp.asarray(llr).reshape(B, N_BLOCK_COLS, z).transpose(1, 2, 0)
-    tot = minsum_totals_tpu(lam_t, z, 8, interpret=True)
+    tot, diag = minsum_totals_tpu(lam_t, z, 8, interpret=True)
     total = np.asarray(tot).transpose(2, 0, 1).reshape(B, code.n)
     bits_pal = (total < 0).astype(np.uint8)[:, : code.k]
 
     assert np.array_equal(bits_pal, bits_xla)
     assert np.mean(bits_xla != u) < 0.01  # and it actually decodes
+    # diag rows: iterations run (≤ budget) and per-lane unsat flags
+    diag = np.asarray(diag)
+    assert 1 <= diag[1, 0] <= 8
+    assert diag[0].min() >= 0.0 and diag[0].max() <= 1.0
 
 
 @pytest.mark.parametrize("bps", [2, 4, 6])
@@ -58,14 +62,21 @@ def test_fused_eq_demap_matches_xla(bps):
     body = wav[:, a: a + need] + rng.normal(0, 3e-3, (2, need)).astype(np.float32)
     body = jnp.asarray(body.astype(np.float32))
 
-    llr_x, (_, _, sl_x, cp_x, evm_x) = m._demod_prewindowed(body, use_pallas=False)
+    llr_x, (_, _, sl_x, cp_x, evm_x, mabs_x) = m._demod_prewindowed(
+        body, use_pallas=False)
+    # bring the XLA LLRs to the descrambled coded-stream order the fused
+    # path emits (its descrambler is folded into the kernel)
+    from gf3x.models.frame import interleave_bits
+    llr_x = np.asarray(interleave_bits(cfg, llr_x, inverse=True)
+                       if cfg.interleave else llr_x)
+    llr_x = llr_x * (1.0 - 2.0 * m.lay.scramble)
 
     Y = ofdm_demodulate(cfg, body)
     H, nv = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
-    llr_p, (_, _, sl_p, cp_p, evm_p) = m._fused_eq_demap(
+    fused, (_, _, sl_p, cp_p, evm_p, mabs_p) = m._fused_eq_demap(
         Y, H, nv, body.shape[:-1], interpret=True)
+    llr_p = np.asarray(m._stream_llr(fused)).T[:2]          # (B, raw_bits)
 
-    llr_x, llr_p = np.asarray(llr_x), np.asarray(llr_p)
     # identical hard decisions, near-identical soft values and diagnostics
     assert np.array_equal(llr_p < 0, llr_x < 0)
     scale = np.mean(np.abs(llr_x))
@@ -73,6 +84,7 @@ def test_fused_eq_demap_matches_xla(bps):
     assert np.allclose(np.asarray(sl_p), np.asarray(sl_x), atol=1e-4)
     assert np.allclose(np.asarray(cp_p), np.asarray(cp_x), atol=1e-4)
     assert np.allclose(np.asarray(evm_p), np.asarray(evm_x), rtol=0.02, atol=1e-6)
+    assert np.allclose(np.asarray(mabs_p), np.asarray(mabs_x), rtol=0.02)
 
 
 def test_coded_64qam_roundtrip_e2e():

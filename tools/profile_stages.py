@@ -106,20 +106,24 @@ def main():
     def tail(yri):
         Yc = jax.lax.complex(yri[..., 0], yri[..., 1])
         H, nv = estimate_channel(cfg, Yc[..., : cfg.n_known_symbols, :])
-        llr, _ = modem._fused_eq_demap(Yc, H, nv, Yc.shape[:-2])
-        return llr
+        fused, _ = modem._fused_eq_demap(Yc, H, nv, Yc.shape[:-2])
+        return fused.llr_p
     timed(tail, Yri, "est + fused EQ/demap")
 
     def full_tail(yri):
         Yc = jax.lax.complex(yri[..., 0], yri[..., 1])
         H, nv = estimate_channel(cfg, Yc[..., : cfg.n_known_symbols, :])
-        llr, _ = modem._fused_eq_demap(Yc, H, nv, Yc.shape[:-2])
-        return modem._bits_from_llr(llr)
-    timed(full_tail, Yri, "est + EQ + LDPC (+deintlv)")
+        fused, _ = modem._fused_eq_demap(Yc, H, nv, Yc.shape[:-2])
+        return modem._payload_bits(fused, Yc.shape[:-2])[0]
+    timed(full_tail, Yri, "est + EQ + LDPC (+epilogue)")
 
-    llr = jnp.asarray(np.asarray(
-        jax.jit(lambda b: modem._demod_prewindowed(b)[0])(body), np.float32))
-    timed(lambda l: modem._bits_from_llr(l), llr, "LDPC decode only")
+    # time the FEC epilogue (stream-layout shuffle + lanes LDPC) alone from
+    # a precomputed fused-layout LLR plane (TPU path only)
+    from gf3x.models.modem import _FusedLlr
+    llr_like = jax.jit(lambda b: modem._demod_prewindowed(b)[0].llr_p)(body)
+    llr_p = jnp.asarray(np.asarray(llr_like, np.float32))
+    timed(lambda lp: modem._payload_bits(_FusedLlr(lp, B), (B,))[0],
+          llr_p, "LDPC decode only (+epilogue)")
 
     timed(lambda r: modem.demodulate_prewindowed(r)[0],
           rx[..., :cfg.frame_len], "demodulate_prewindowed")
