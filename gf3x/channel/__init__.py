@@ -5,6 +5,7 @@ from .sims import (
     room_impulse_response,
     clip,
     resample_sfo,
+    speaker_mic_fir,
     Impairment,
     Chain,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "room_impulse_response",
     "clip",
     "resample_sfo",
+    "speaker_mic_fir",
     "Impairment",
     "Chain",
 ]

@@ -19,7 +19,7 @@ import numpy as np
 
 __all__ = [
     "awgn", "delay_gain", "multipath", "room_impulse_response", "clip",
-    "resample_sfo", "Impairment", "Chain",
+    "resample_sfo", "speaker_mic_fir", "Impairment", "Chain",
 ]
 
 
@@ -80,17 +80,80 @@ def clip(x: np.ndarray, limit: float = 1.0) -> np.ndarray:
     return np.clip(x, -limit, limit)
 
 
-def resample_sfo(x: np.ndarray, ppm: float) -> np.ndarray:
-    """Resample by (1 + ppm·1e-6): sampling-frequency offset between the
-    transmitter DAC and receiver ADC clocks (the acoustic channel's analog
-    of carrier offset — SURVEY.md Appendix "Pilot phase tracking")."""
-    ratio = 1.0 + ppm * 1e-6
-    n_out = int(np.floor((len(x) - 1) / ratio)) + 1
-    t = np.arange(n_out) * ratio
+def resample_sfo(x: np.ndarray, ppm: float, fs: int = 44100,
+                 drift_ppm_per_s: float = 0.0,
+                 wobble_ppm: float = 0.0,
+                 wobble_hz: float = 1.0) -> np.ndarray:
+    """Resample by a (possibly time-varying) clock ratio: sampling-frequency
+    offset between the transmitter DAC and receiver ADC clocks (the acoustic
+    channel's analog of carrier offset — SURVEY.md Appendix "Pilot phase
+    tracking").
+
+    δ(t) = (ppm + drift_ppm_per_s·t + wobble_ppm·sin(2π·wobble_hz·t))·1e-6:
+    a constant offset (crystal tolerance), a linear ramp (a warming device —
+    the genre's live-demo failure mode, VERDICT r2 missing #2), and a
+    sinusoidal wobble (vibration / thermal cycling). Output sample n reads
+    input time τ(n) = ∫₀ⁿ (1+δ) dt in samples (linear interpolation); the
+    constant-δ case reproduces the previous fixed-ratio resampler exactly.
+    """
+    if drift_ppm_per_s == 0.0 and wobble_ppm == 0.0:
+        ratio = 1.0 + ppm * 1e-6
+        n_out = int(np.floor((len(x) - 1) / ratio)) + 1
+        t = np.arange(n_out) * ratio
+    else:
+        n = np.arange(len(x) + int(0.01 * len(x)) + 2, dtype=np.float64)
+        ts = n / fs                      # output-sample wall time, seconds
+        t = n + 1e-6 * (
+            ppm * n
+            + drift_ppm_per_s * fs * ts * ts / 2.0
+            + (wobble_ppm * fs / (2.0 * np.pi * wobble_hz))
+            * (1.0 - np.cos(2.0 * np.pi * wobble_hz * ts))
+        )
+        t = t[t <= len(x) - 1]
     i0 = np.floor(t).astype(np.int64)
     frac = t - i0
     i1 = np.minimum(i0 + 1, len(x) - 1)
     return (1.0 - frac) * x[i0] + frac * x[i1]
+
+
+def speaker_mic_fir(
+    fs: int = 44100,
+    lowcut: float = 150.0,
+    highcut: float = 15000.0,
+    ripple_db: float = 0.0,
+    taps: int = 513,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Linear-phase FIR modelling the speaker×microphone frequency response
+    (VERDICT r2 missing #3): consumer transducers roll off below ~150 Hz
+    (2nd-order highpass) and above ~15 kHz (4th-order lowpass) with a few dB
+    of midband ripple — the impairment that stresses the used-band edges
+    (bin_lo=24 ≈ 1 kHz at the GF3 geometry, `config.py` bin_lo rationale).
+
+    `ripple_db` adds a smooth random ±ripple_db magnitude ripple (needs
+    `rng`). Returns `taps` FIR coefficients (group delay = taps//2 samples,
+    absorbed by sync like any bulk delay). Designed by frequency sampling:
+    target magnitude → zero-phase irfft → center, Hann-window, truncate.
+    """
+    nfft = 4096
+    f = np.fft.rfftfreq(nfft, 1.0 / fs)
+    with np.errstate(divide="ignore"):
+        r2 = (f / lowcut) ** 2
+    hp = r2 / np.sqrt(1.0 + r2 * r2)                 # 2nd-order butter HP |H|
+    lp = 1.0 / np.sqrt(1.0 + (f / highcut) ** 8)     # 4th-order butter LP |H|
+    mag = hp * lp
+    if ripple_db:
+        if rng is None:
+            raise ValueError("ripple_db needs an rng")
+        rough = rng.normal(size=mag.shape)
+        k = np.exp(-0.5 * (np.arange(-128, 129) / 32.0) ** 2)
+        smooth = np.convolve(rough, k / k.sum(), mode="same")
+        smooth = smooth / (np.max(np.abs(smooth)) + 1e-12)
+        mag = mag * 10.0 ** (ripple_db * smooth / 20.0)
+    h = np.fft.irfft(mag, nfft)
+    h = np.roll(h, taps // 2)[:taps]
+    h = h * np.hanning(taps)
+    return h
 
 
 @dataclass
