@@ -63,6 +63,48 @@ def test_sc_sync_batched(modem):
         assert r.crc_ok and r.payload == payloads[i]
 
 
+def test_sc_sync_gf3_robust_geometry():
+    """The SC timing chain on GF3_ROBUST (denser pilots, K=8, fewer data
+    symbols): the −cp//8 early bias must hold beyond the geometry it was
+    tuned on (VERDICT r2 weak #5), with the chirp destroyed."""
+    from gf3x import GF3_ROBUST
+
+    m = Modem(GF3_ROBUST)
+    rng = np.random.default_rng(7)
+    payload = bytes(rng.integers(0, 256, 200, dtype=np.uint8))
+    wav = m.encode(payload, "r.bin")
+    delay = 4321
+    rx = awgn(delay_gain(wav.astype(np.float64), delay, 0.5,
+                         total_len=len(wav) + 9000), 16.0, rng)
+    rx[delay: delay + GF3_ROBUST.chirp_len] = \
+        rng.normal(size=GF3_ROBUST.chirp_len) * 0.01
+    res = m.decode(rx.astype(np.float32), sync="sc")
+    assert res.crc_ok and res.payload == payload
+    assert abs(int(res.diag.sync_start) - delay) < GF3_ROBUST.cp
+
+
+@pytest.mark.parametrize("n_fft,cp", [(1024, 64), (512, 32)])
+def test_sc_sync_tiny_cp_geometry(n_fft, cp):
+    """Tiny-CP geometries (cp = n_fft/16): the plateau is narrow and the
+    early-bias budget small — exactly where a one-geometry magic constant
+    would break silently (VERDICT r2 weak #5)."""
+    cfg = ModemConfig(
+        n_fft=n_fft, cp=cp, bin_lo=8, bin_hi=8 + 96 - 1, pilot_spacing=8,
+        n_known_symbols=3, n_data_symbols=10, chirp_duration=0.03,
+        fec="none",
+    ).validate()
+    m = Modem(cfg)
+    rng = np.random.default_rng(n_fft + cp)
+    payload = bytes(rng.integers(0, 256, 40, dtype=np.uint8))
+    wav = m.encode(payload)
+    delay = 1234
+    rx = awgn(delay_gain(wav.astype(np.float64), delay, 0.6,
+                         total_len=len(wav) + 4000), 28.0, rng)
+    res = m.decode(rx.astype(np.float32), sync="sc")
+    assert res.crc_ok and res.payload == payload
+    assert abs(int(res.diag.sync_start) - delay) < cp
+
+
 def test_sc_sync_multipath_low_snr_gf3():
     """Hardening (VERDICT r1 item 6): the SC plateau timing must survive a
     room impulse response + low SNR on the full GF3 preset — the same
