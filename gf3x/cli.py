@@ -89,6 +89,12 @@ def cmd_receive(args) -> int:
         "missing_seqs": res.missing,
         "starts": [int(s) for s in res.starts],
         "evm": [round(float(r.diag.evm), 5) for r in res.frames if r.diag is not None],
+        # FEC decoder stress (SURVEY.md §6.5): message passes run and
+        # codewords left unsatisfied, per frame
+        "fec_iters": [int(r.diag.fec_iters) for r in res.frames
+                      if r.diag is not None],
+        "fec_unsat": [int(r.diag.fec_unsat) for r in res.frames
+                      if r.diag is not None],
     }
     if args.json:
         print(json.dumps(report))

@@ -100,3 +100,40 @@ def test_timer_report():
     with t.section("a"):
         pass
     assert "a" in t.report()
+
+
+def test_fec_convergence_diag_matches_golden(modem):
+    """DecodeDiag.fec_iters / fec_unsat (SURVEY.md §6.5, VERDICT r2 missing
+    #4): on identical LLRs the JAX-reported pass count equals the golden
+    decoder's, and a noisy-but-decodable frame reports 0 unsat codewords
+    while junk reports stress."""
+    from gf3x import GoldenModem
+
+    g = GoldenModem(CFG)
+    rng = np.random.default_rng(6)
+    payload = bytes(rng.integers(0, 256, 60, dtype=np.uint8))
+    wav = modem.encode(payload)
+    rx = awgn(delay_gain(wav.astype(np.float64), 500, 0.6,
+                         total_len=len(wav) + 2000), 7.0, rng)
+    res = modem.decode(rx.astype(np.float32))
+    gres = g.decode(rx)
+    assert res.crc_ok and gres.crc_ok
+    assert int(res.diag.fec_unsat) == gres.diag["fec_unsat"] == 0
+    # near-threshold SNR: the decoder had to actually iterate, and both
+    # twins ran the same number of passes on the same frame
+    assert int(res.diag.fec_iters) == gres.diag["ldpc_iters"]
+    assert 1 <= int(res.diag.fec_iters) <= CFG.ldpc_iters
+
+    # junk recording: CRC fails and the diag shows the decoder gave up
+    junk = (rng.normal(size=rx.shape) * 0.1)
+    rj = modem.decode(junk.astype(np.float32))
+    assert not rj.crc_ok
+    assert int(rj.diag.fec_unsat) >= 1
+    assert int(rj.diag.fec_iters) == CFG.ldpc_iters
+
+
+def test_fec_diag_zero_without_fec():
+    m = Modem(CFG.replace(fec="none"))
+    wav = m.encode(b"nofec")
+    res = m.decode(wav, start=0)
+    assert int(res.diag.fec_iters) == 0 and int(res.diag.fec_unsat) == 0

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Runnable on-TPU parity gate (SURVEY.md §5 test pyramid, §8 risks):
+everything CI checks in interpret mode, re-verified on the REAL chip.
+
+CI's Pallas tests run the kernels in interpreter mode on the CPU mesh; the
+compiled Mosaic kernels and the bf16x3 DFT matmuls only ever execute on
+hardware. This script fails loudly (exit 1) if the hardware path diverges:
+
+1. the four frozen capture WAVs decode bit-exact (sha256 vs the manifest);
+2. fused EQ/demap kernel ≡ XLA twin on real frame geometry (hard decisions
+   exact, soft LLRs within tolerance) at QPSK/16-QAM/64-QAM;
+3. Pallas LDPC ≡ XLA min-sum, bit-exact, including the early-exit pass
+   count and unsat diag;
+4. gather_cut / cut_symbols DMA kernels ≡ the XLA fallback, sample-exact;
+5. the HIGH-precision (bf16x3) demod DFT holds its error floor vs a float64
+   NumPy reference (ADVICE r2: the floor rested on one manual measurement —
+   a future XLA change to HIGH's implementation must not silently degrade
+   LLR quality).
+
+Writes tools/tpu_parity.json with per-check results. Run: python tools/tpu_parity.py
+"""
+
+import hashlib
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+RESULTS: list[dict] = []
+
+
+def check(name: str, ok: bool, detail: str = ""):
+    RESULTS.append({"check": name, "ok": bool(ok), "detail": detail})
+    print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+
+
+def main() -> int:
+    dev = jax.devices()[0]
+    on_tpu = dev.platform in ("tpu", "axon") or "TPU" in str(dev)
+    print(f"device: {dev} (tpu={on_tpu})")
+    if not on_tpu:
+        print("ERROR: this gate must run on the real TPU "
+              "(it re-verifies what CI can only interpret)")
+        return 2
+
+    from gf3x import GF3_STANDARD, Modem, preset
+    from gf3x.io import read_wav
+    from gf3x.models.stream import decode_stream
+
+    # ---- 1. frozen captures decode bit-exact on hardware
+    fixtures = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
+    manifest = json.loads((fixtures / "manifest.json").read_text())
+    for cap in manifest["captures"]:
+        rx, _ = read_wav(fixtures / cap["wav"])
+        res = decode_stream(Modem(preset(cap["preset"])), rx)
+        ok = (res.complete
+              and hashlib.sha256(res.payload).hexdigest() == cap["payload_sha256"])
+        check(f"capture:{cap['wav']}", ok,
+              f"{cap['n_frames']} frame(s), {cap['payload_len']} B")
+
+    # ---- 2. fused EQ/demap kernel vs XLA twin, compiled Mosaic
+    from gf3x.models.frame import interleave_bits
+    from gf3x.ops.chanest import estimate_channel
+    from gf3x.ops.ofdm import ofdm_demodulate
+
+    for bps in (2, 4, 6):
+        cfg = GF3_STANDARD.replace(bits_per_symbol=bps, fec="none",
+                                   chanest_taps=0)
+        m = Modem(cfg)
+        rng = np.random.default_rng(bps)
+        B = 256
+        info = rng.integers(0, 2, (B, cfg.payload_bits_per_frame),
+                            dtype=np.uint8)
+        wav = np.asarray(m.modulate_frames(jnp.asarray(info)))
+        a = cfg.preamble_len - cfg.cp // 4
+        need = (cfg.n_known_symbols + cfg.n_data_symbols) * cfg.symbol_len
+        body = wav[:, a: a + need] + rng.normal(0, 3e-3, (B, need))
+        body = jnp.asarray(body.astype(np.float32))
+
+        llr_x, _ = jax.jit(lambda b: m._demod_prewindowed(
+            b, use_pallas=False))(body)
+        llr_x = np.asarray(interleave_bits(cfg, llr_x, inverse=True))
+        llr_x = llr_x * (1.0 - 2.0 * m.lay.scramble)
+
+        def fused_path(b):
+            Y = ofdm_demodulate(cfg, b)
+            H, nv = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
+            fused, _ = m._fused_eq_demap(Y, H, nv, b.shape[:-1])
+            return m._stream_llr(fused)
+        llr_p = np.asarray(jax.jit(fused_path)(body)).T[:B]
+
+        hard_ok = np.array_equal(llr_p < 0, llr_x < 0)
+        scale = float(np.mean(np.abs(llr_x)))
+        soft_err = float(np.max(np.abs(llr_p - llr_x))) / (scale + 1e-12)
+        check(f"fused_eq:{bps}bps", hard_ok and soft_err < 0.03,
+              f"max soft err {soft_err:.2e} of mean |LLR|")
+
+    # ---- 3. Pallas LDPC vs XLA min-sum, bit-exact + diag
+    from gf3x.fec.codes import N_BLOCK_COLS
+    from gf3x.fec.ldpc import LdpcCode
+
+    code = LdpcCode(96)
+    rng = np.random.default_rng(7)
+    Bc = 512
+    u = rng.integers(0, 2, size=(Bc, code.k), dtype=np.uint8)
+    c = code.encode(u)
+    sigma = np.where(np.arange(Bc)[:, None] % 2 == 0, 0.45, 0.75)
+    y = (1.0 - 2.0 * c) + rng.normal(0, 1.0, c.shape) * sigma
+    llr = (2 * y / sigma**2).astype(np.float32)
+    bx, itx, unx = code.decode_jax(jnp.asarray(llr), 30, use_pallas=False,
+                                   with_diag=True)
+    lam_t = jnp.asarray(llr).reshape(Bc, N_BLOCK_COLS, code.z).transpose(1, 2, 0)
+    tot, itp, unp = code.decode_lanes(lam_t, 30, use_pallas=True)
+    totn = np.asarray(tot).transpose(2, 0, 1).reshape(Bc, code.n)
+    bp = (totn < 0).astype(np.uint8)[:, : code.k]
+    bits_ok = np.array_equal(bp, np.asarray(bx))
+    unsat_ok = np.array_equal(np.asarray(unp), np.asarray(unx))
+    check("ldpc_pallas", bits_ok and unsat_ok,
+          f"iters xla={int(np.max(np.asarray(itx)))} "
+          f"pallas_max={int(np.max(np.asarray(itp)))}")
+
+    # ---- 4. DMA cut kernels vs XLA fallback, sample-exact
+    from gf3x.ops.pallas.gather_cut import cut_symbols_tpu, gather_cut_group_tpu
+    from gf3x.ops.sync import max_cut_start
+
+    rng = np.random.default_rng(11)
+    block, need, T, Bq = 128, 34048, 50001, 64
+    nb = -(-(need + block) // block)
+    nb = -(-nb // 8) * 8
+    nf = T // block
+    rxq = rng.standard_normal((Bq, T)).astype(np.float32)
+    starts = rng.integers(0, max_cut_start(T, need, block), Bq).astype(np.int32)
+    q = np.clip(starts // block, 0, nf + 8 - nb)
+    rxe = np.pad(rxq[:, : nf * block], ((0, 0), (0, 8 * block)))
+    ref = np.stack([rxe[i, q[i] * block: (q[i] + nb) * block] for i in range(Bq)])
+    g = np.asarray(gather_cut_group_tpu(jnp.asarray(rxq), jnp.asarray(q),
+                                        block, nb))
+    check("gather_cut_group", np.array_equal(g, ref), f"B={Bq} nb={nb}")
+
+    S, n_fft, cp = 8, 1024, 256
+    sym_len = n_fft + cp
+    body_off, sc_off = sym_len, 100
+    syms, scw = cut_symbols_tpu(jnp.asarray(rxq), jnp.asarray(q), block, S,
+                                n_fft, body_off, sym_len, cp, sc_off)
+    win = ref
+    bodyref = win[:, body_off: body_off + S * sym_len]
+    sref = bodyref.reshape(Bq, S, sym_len)[..., cp: cp + n_fft]
+    scref = win[:, sc_off: sc_off + n_fft]
+    check("cut_symbols", np.array_equal(np.asarray(syms), sref)
+          and np.array_equal(np.asarray(scw), scref), "")
+
+    # ---- 5. demod DFT precision floor (bf16x3 vs float64 reference)
+    from gf3x.config import layout
+    from gf3x.ops.ofdm import ofdm_dft
+
+    cfg = GF3_STANDARD
+    lay = layout(cfg)
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((64, 8, cfg.n_fft)).astype(np.float32)
+    Yt = np.asarray(jax.jit(lambda s: jnp.stack(
+        [(Y := ofdm_dft(cfg, s)).real, Y.imag], -1))(jnp.asarray(x)))
+    Y64 = np.fft.rfft(x.astype(np.float64), cfg.n_fft)[..., lay.used_bins] \
+        / cfg.ofdm_scale
+    err = Yt[..., 0] + 1j * Yt[..., 1] - Y64
+    rel = float(np.sqrt(np.mean(np.abs(err) ** 2) / np.mean(np.abs(Y64) ** 2)))
+    floor_db = 20 * np.log10(rel + 1e-300)
+    check("demod_dft_precision", floor_db < -80.0,
+          f"error floor {floor_db:.1f} dB (gate −80, measured −100 class)")
+
+    out = {"device": str(dev), "when": time.strftime("%Y-%m-%d %H:%M:%S"),
+           "ok": all(r["ok"] for r in RESULTS), "checks": RESULTS}
+    path = Path(__file__).resolve().parent / "tpu_parity.json"
+    path.write_text(json.dumps(out, indent=1) + "\n")
+    print(f"\nwrote {path}  ok={out['ok']}")
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
