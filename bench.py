@@ -94,6 +94,51 @@ def matmul_flops_per_frame(cfg, search_len: int) -> float:
     return flops
 
 
+#: v5e HBM bandwidth roofline (bytes/s) — the honest utilization yardstick
+#: for this receiver, which is HBM-bound by design (BASELINE.md).
+HBM_ROOFLINE = 819e9
+
+
+def hbm_bytes_per_step(cfg, T: int, B: int, search_len: int) -> dict:
+    """Bytes-touched model of one full-path decode step (reads + writes per
+    stage, f32/c64 at their actual dtypes). Deliberately a LOWER bound: it
+    counts each tensor once per producer/consumer pass and ignores cache
+    reuse and small diag traffic, so achieved-GB/s ÷ roofline understates
+    true pressure slightly. Stage labels match tools/profile_stages.py."""
+    from gf3x.ops.sync import bounded_sync_nfft
+
+    n_sym = cfg.n_known_symbols + cfg.n_data_symbols
+    D, U = cfg.n_data_symbols, cfg.n_used
+    LP = -(-cfg.n_data_bins * cfg.bits_per_symbol // 8) * 8
+    ncw, z = cfg.n_codewords, cfg.ldpc_z
+
+    F = bounded_sync_nfft(T, search_len, cfg.chirp_len, decimate=2)
+    seg = (min(search_len, T) + cfg.chirp_len) // 2
+    sync = B * 4 * (seg                  # decimated prefix read
+                    + 2 * F              # rfft write (c64 = 8B/2 halves ≈ 2F f32)
+                    + 2 * F              # spectrum read by the irfft matmuls
+                    + F                  # |m| write
+                    + 2 * F)             # argmax + first-arrival passes
+    cut = B * 4 * (T                     # whole recording through the DMA stage
+                   + n_sym * cfg.n_fft   # DFT-ready symbol matrix write
+                   + cfg.n_fft)          # SC window write
+    dft = B * 4 * (n_sym * cfg.n_fft     # symbol matrix read (bf16x3 reads
+                                         # the bf16 splits; count once in f32)
+                   + 2 * n_sym * U * 2)  # Y write + read by next stage
+    eq = B * 4 * (2 * D * U              # y_ri read
+                  + 2 * U                # H read
+                  + D * LP               # LLR write
+                  + D * 8)               # diag write
+    epi = B * 4 * (2 * D * LP            # stream-layout shuffle r+w
+                   + 2 * ncw * 24 * z)   # LDPC lanes layout r+w
+    ldpc = B * 4 * (ncw * 24 * z * 2)    # lam in + totals out (state is VMEM)
+    bits = B * (ncw * 12 * z * 2)        # info bits u8 transpose r+w
+    stages = {"sync": sync, "cut_symbols": cut, "dft": dft, "fused_eq": eq,
+              "fec_epilogue": epi, "ldpc": ldpc, "bits_out": bits}
+    stages["total"] = sum(stages.values())
+    return stages
+
+
 def main():
     import jax
 
@@ -153,6 +198,8 @@ def main():
     audio_sec_per_step = B * rx.shape[-1] / cfg.fs
     rtf = audio_sec_per_step / dt
     mfu = matmul_flops_per_frame(cfg, MARGIN + cfg.cp) * B / dt / 197e12  # v5e bf16 peak
+    hbm = hbm_bytes_per_step(cfg, rx.shape[-1], B, MARGIN + cfg.cp)
+    hbm_gbps = hbm["total"] / dt / 1e9
 
     # secondary: demod-only throughput on pre-cut frame windows (the
     # streaming receiver's steady state — sync runs once per arrival, the
@@ -206,6 +253,14 @@ def main():
             "mxu_mfu_note": "analytic matmul FLOPs of sync irffts + demod "
                             "DFTs over v5e 197 TFLOP/s bf16 peak; VPU "
                             "stages (LDPC BP, fused EQ) excluded",
+            "hbm_gbps": round(hbm_gbps, 1),
+            "roofline_frac": round(hbm_gbps * 1e9 / HBM_ROOFLINE, 3),
+            "hbm_note": "bytes-touched model (lower bound, per-stage table "
+                        "in hbm_bytes_per_step) / step time, vs the 819 GB/s "
+                        "v5e HBM roofline - the honest utilization figure "
+                        "for this HBM-bound receiver (mxu_mfu is small by "
+                        "design: the redesign removed matmul work)",
+            "hbm_stage_mb": {k: round(v / 1e6, 1) for k, v in hbm.items()},
             "prewindowed_symbols_per_sec": round(win_sps, 1),
             "golden_cpu_symbols_per_sec": round(golden_sps, 1),
             "device": str(jax.devices()[0]),

@@ -62,11 +62,13 @@ def sharded_decode(modem, mesh: Mesh, seq_axis: Optional[str] = None):
     )
 
 
-def sharded_pipeline_step(modem, mesh: Mesh):
+def sharded_pipeline_step(modem, mesh: Mesh, margin: int = 512):
     """The full framework step, sharded: encode a bit batch, impair it on
-    device (AWGN via a jax PRNG), decode, and reduce the pre-FEC BER — the
-    modem-domain analog of a distributed "training step" (SURVEY.md §6.3:
-    channel impairments are the fault-injection/recovery loop).
+    device (per-row random delay + AWGN via a jax PRNG), decode — SYNC
+    INCLUDED (the most bandwidth-interesting stage under sharding; the r2
+    version decoded at start=0 and skipped it) — and reduce the pre-FEC
+    BER: the modem-domain analog of a distributed "training step"
+    (SURVEY.md §6.3: channel impairments are the fault-injection loop).
 
     Returns f(info_bits (B, payload_bits) u8, key, snr_db) ->
     (ber scalar, bits_ok scalar, decoded bits (B, payload_bits)).
@@ -75,13 +77,17 @@ def sharded_pipeline_step(modem, mesh: Mesh):
 
     def step(info_bits, key, snr_db):
         wav = modem.modulate_frames(info_bits)              # (B, frame_len)
-        p = jnp.mean(wav**2, axis=-1, keepdims=True)
+        kd, kn = jax.random.split(key)
+        pad = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, margin)])
+        delays = jax.random.randint(kd, wav.shape[:-1], 0, margin)
+        rx = jax.vmap(lambda r, d: jnp.roll(r, d, axis=-1))(pad, delays)
+        p = jnp.mean(rx**2, axis=-1, keepdims=True)
         nvar = p / (10.0 ** (snr_db / 10.0))
-        noise = jax.random.normal(key, wav.shape, wav.dtype) * jnp.sqrt(nvar)
-        rx = wav + noise
-        bits, _ = modem.demodulate_at(rx, jnp.zeros(rx.shape[:-1], jnp.int32))
+        rx = rx + jax.random.normal(kn, rx.shape, rx.dtype) * jnp.sqrt(nvar)
+        bits, diag = modem.demodulate(rx)                   # chirp sync included
         ber = jnp.mean((bits != info_bits).astype(jnp.float32))
-        ok = jnp.all(bits == info_bits)
+        sync_err = jnp.max(jnp.abs(diag.sync_start - delays))
+        ok = jnp.all(bits == info_bits) & (sync_err <= modem.cfg.cp // 4)
         return ber, ok, bits
 
     return jax.jit(

@@ -26,8 +26,10 @@ MARGIN = 4096
 R1, R2 = 4, 12            # repeat counts; per-iter = (t2 - t1) / (R2 - R1)
 
 
-def timed(fn, x, label):
-    """Per-iteration seconds of fn via carry-dependent scan differencing."""
+def timed(fn, x, label, nbytes: float = 0.0):
+    """Per-iteration seconds of fn via carry-dependent scan differencing.
+    `nbytes` (bytes touched per iteration, from bench.hbm_bytes_per_step's
+    model) adds an achieved-GB/s column vs the 819 GB/s v5e HBM roofline."""
 
     def prog(reps):
         @jax.jit
@@ -52,7 +54,11 @@ def timed(fn, x, label):
             jax.device_get(run(x))
         ts[reps] = (time.perf_counter() - t0) / 3
     per = (ts[R2] - ts[R1]) / (R2 - R1)
-    print(f"{label:34s} {per * 1e3:8.2f} ms")
+    gbs = ""
+    if nbytes and per > 0:
+        frac = nbytes / per / 819e9
+        gbs = f"  {nbytes / per / 1e9:7.1f} GB/s ({frac:5.1%} of roofline)"
+    print(f"{label:34s} {per * 1e3:8.2f} ms{gbs}")
     return per
 
 
@@ -77,11 +83,14 @@ def main():
 
     dec = modem._sync_decimate
     sl = modem.max_delay
+    from bench import hbm_bytes_per_step
+    hb = hbm_bytes_per_step(cfg, T, B, sl)
 
-    timed(lambda r: modem.demodulate(r)[0], rx, "full demodulate")
+    timed(lambda r: modem.demodulate(r)[0], rx, "full demodulate",
+          hb["total"])
     timed(lambda r: find_frame_start(cfg, r, modem.chirp,
                                      search_len=sl, decimate=dec),
-          rx, "find_frame_start (bounded, dec)")
+          rx, "find_frame_start (bounded, dec)", hb["sync"])
     seg = rx[..., : (sl + cfg.chirp_len) // dec * dec: dec]
     timed(lambda s: matched_filter(s, modem.chirp[::dec]), seg,
           "  matched_filter only")
@@ -90,10 +99,11 @@ def main():
     need = (cfg.n_known_symbols + cfg.n_data_symbols) * cfg.symbol_len
     timed(lambda r: gather_cut(r, start, cfg.sc_len + need,
                                modem._cut_block)[0],
-          rx, "gather_cut")
+          rx, "gather_cut", hb["cut_symbols"])
 
     body = jnp.zeros((B, need), jnp.float32) + rx[..., :need]
-    timed(lambda b: ofdm_demodulate(cfg, b), body, "ofdm_demodulate (DFT mm)")
+    timed(lambda b: ofdm_demodulate(cfg, b), body, "ofdm_demodulate (DFT mm)",
+          hb["dft"])
     Y = ofdm_demodulate(cfg, body)
     Yri = jnp.stack([Y.real, Y.imag], -1)
 
@@ -108,7 +118,7 @@ def main():
         H, nv = estimate_channel(cfg, Yc[..., : cfg.n_known_symbols, :])
         fused, _ = modem._fused_eq_demap(Yc, H, nv, Yc.shape[:-2])
         return fused.llr_p
-    timed(tail, Yri, "est + fused EQ/demap")
+    timed(tail, Yri, "est + fused EQ/demap", hb["fused_eq"])
 
     def full_tail(yri):
         Yc = jax.lax.complex(yri[..., 0], yri[..., 1])
@@ -123,7 +133,8 @@ def main():
     llr_like = jax.jit(lambda b: modem._demod_prewindowed(b)[0].llr_p)(body)
     llr_p = jnp.asarray(np.asarray(llr_like, np.float32))
     timed(lambda lp: modem._payload_bits(_FusedLlr(lp, B), (B,))[0],
-          llr_p, "LDPC decode only (+epilogue)")
+          llr_p, "LDPC decode only (+epilogue)",
+          hb["fec_epilogue"] + hb["ldpc"] + hb["bits_out"])
 
     timed(lambda r: modem.demodulate_prewindowed(r)[0],
           rx[..., :cfg.frame_len], "demodulate_prewindowed")

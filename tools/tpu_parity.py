@@ -70,15 +70,23 @@ def main() -> int:
     from gf3x.ops.chanest import estimate_channel
     from gf3x.ops.ofdm import ofdm_demodulate
 
+    from gf3x.ops.pallas.fused_eq import fused_shapes_ok
+
     for bps in (2, 4, 6):
         cfg = GF3_STANDARD.replace(bits_per_symbol=bps, fec="none",
                                    chanest_taps=0)
         m = Modem(cfg)
         rng = np.random.default_rng(bps)
-        B = 256
+        # the bench batch: a shape the production router actually sends to
+        # the kernel (smaller batches are refused by fused_shapes_ok — XLA
+        # scopes their mid-size buffers into VMEM and OOMs the 16 MB limit)
+        B = 1024
+        assert fused_shapes_ok(cfg, B), (bps, B)
         info = rng.integers(0, 2, (B, cfg.payload_bits_per_frame),
                             dtype=np.uint8)
-        wav = np.asarray(m.modulate_frames(jnp.asarray(info)))
+        # _encode_jit, not bare modulate_frames: eager complex ops are
+        # unimplemented on the axon backend
+        wav = np.asarray(m._encode_jit(jnp.asarray(info)))
         a = cfg.preamble_len - cfg.cp // 4
         need = (cfg.n_known_symbols + cfg.n_data_symbols) * cfg.symbol_len
         body = wav[:, a: a + need] + rng.normal(0, 3e-3, (B, need))
