@@ -37,13 +37,22 @@ LANES = 128
 
 
 def _chunk_divisor(cfg: ModemConfig, LP: int) -> int:
-    """Largest divisor of D whose per-grid-step in+out blocks stay within
-    ~2 MB of VMEM (×2 for double buffering); 0 when even one symbol's
-    blocks exceed the budget (very wide n_used/LP — route to the XLA twin)."""
-    per_sym = (2 * cfg.n_used + LP + 8) * LANES * 4
+    """Largest divisor of D (symbols per grid step) whose scoped-VMEM
+    footprint fits the 16 MB v5e stack. The footprint model (calibrated on
+    hardware via tools/tpu_parity.py probes): double-buffered in/out
+    windows + the unrolled body's live vectors — per symbol
+    2·(2·n_used + LP + 8) window floats plus ~(2m+3)·n_data running demap
+    vectors plus ~2·LP for the bit stack — times 128 lanes, within a 12 MB
+    budget (XLA also scopes the custom call's sub-16-MiB full operands,
+    ~3 MB at GF3 geometry). Gives dc=5 at QPSK (the measured-good r2
+    value), 2 at 16-QAM, 2 at 64-QAM; 0 when even one symbol exceeds the
+    budget (route to the XLA twin)."""
+    m = cfg.bits_per_symbol // 2
+    per_sym = (2 * (2 * cfg.n_used + LP + 8)
+               + (2 * m + 3) * cfg.n_data_bins + 2 * LP) * LANES * 4
     D = cfg.n_data_symbols
     return max((d for d in range(1, D + 1)
-                if D % d == 0 and d * per_sym <= (4 << 20)), default=0)
+                if D % d == 0 and d * per_sym <= (12 << 20)), default=0)
 
 
 def fused_shapes_ok(cfg: ModemConfig, B: int) -> bool:
@@ -62,8 +71,14 @@ def fused_shapes_ok(cfg: ModemConfig, B: int) -> bool:
     below that — degenerate configs take the XLA twin, whose
     `pilot_phase_correct` no-ops cleanly) and a valid symbol-chunk divisor
     (`_chunk_divisor`; an unguarded search raised on very wide configs).
+
+    64-QAM is routed to the XLA twin: its kernel compiles to a 21–23 MB
+    scoped-VMEM stack on v5e (> the 16 MB limit) that neither symbol
+    chunking, a leaner demap, nor a plane-major emission brought under
+    budget (measured via tools/tpu_parity.py probes; r2's kernel had the
+    same overflow but was never executed at 64-QAM on hardware).
     """
-    if cfg.n_pilots < 2:
+    if cfg.n_pilots < 2 or cfg.bits_per_symbol >= 6:
         return False
     LP = -(-cfg.n_data_bins * cfg.bits_per_symbol // 8) * 8
     if _chunk_divisor(cfg, LP) == 0:
@@ -193,22 +208,26 @@ def _make_kernel(cfg: ModemConfig, LP: int):
         nv_eff = jnp.maximum(nv / jnp.maximum(h2d, 1e-12), 1e-12)
         inv_nv = 1.0 / nv_eff
 
-        # ---- max-log demap per axis (static level set) + EVM
+        # ---- max-log demap per axis (static level set) + EVM.
+        # Label-OUTER with running per-bit mins: each level's distance dies
+        # after its iteration instead of all M distances staying live (the
+        # precomputed-ds form held ~8 extra (n_data, L) vectors at 64-QAM,
+        # which at dc>1 unroll blew the 16 MB scoped-VMEM stack on v5e —
+        # caught by tools/tpu_parity.py). The minimum chains consume the
+        # same operands in the same label order, so results are bit-equal.
         def axis(x):
-            ds = [(x - v) ** 2 for v in lv]                       # per label int
-            outs = []
-            for j in range(m):
-                d0 = None
-                d1 = None
-                for lbl, d in enumerate(ds):
+            d0 = [None] * m
+            d1 = [None] * m
+            md = None
+            for lbl, v in enumerate(lv):
+                d = (x - v) ** 2
+                for j in range(m):
                     if (lbl >> (m - 1 - j)) & 1:
-                        d1 = d if d1 is None else jnp.minimum(d1, d)
+                        d1[j] = d if d1[j] is None else jnp.minimum(d1[j], d)
                     else:
-                        d0 = d if d0 is None else jnp.minimum(d0, d)
-                outs.append((d1 - d0) * inv_nv)
-            md = ds[0]
-            for d in ds[1:]:
-                md = jnp.minimum(md, d)
+                        d0[j] = d if d0[j] is None else jnp.minimum(d0[j], d)
+                md = d if md is None else jnp.minimum(md, d)
+            outs = [(d1[j] - d0[j]) * inv_nv for j in range(m)]
             return outs, md
 
         lre, mdr = axis(dr)

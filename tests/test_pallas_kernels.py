@@ -147,16 +147,22 @@ def test_gather_cut_kernels_match_xla(B):
 
 
 def test_fused_shapes_ok_routing():
-    """The VMEM-placement guard keeps the fused kernel off the shapes XLA
-    would scope into VMEM and blow the 16 MB limit (64-QAM at one padded
-    lane block), while keeping it for the bench shapes."""
-    from gf3x import GF3_STANDARD, preset
+    """The VMEM-placement guard keeps the fused kernel off the shapes that
+    blow the 16 MB scoped-VMEM limit on hardware, while keeping it for the
+    bench shapes. Measured (tools/tpu_parity.py probes, r3): 64-QAM's
+    kernel allocates a 21–23 MB scoped stack at ANY batch/chunking → always
+    routed to the XLA twin; 16-QAM fits at the calibrated symbol chunking;
+    QPSK unchanged. Degenerate pilot counts also route away."""
+    from gf3x import GF3_STANDARD, ModemConfig, preset
     from gf3x.ops.pallas.fused_eq import fused_shapes_ok
 
     assert fused_shapes_ok(GF3_STANDARD, 1024)        # bench: clearly HBM
-    assert not fused_shapes_ok(preset("gf3-turbo"), 1)   # the OOM shape
-    assert not fused_shapes_ok(preset("gf3-turbo"), 128)
-    assert fused_shapes_ok(preset("gf3-turbo"), 1024)
+    assert fused_shapes_ok(preset("gf3-fast"), 1024)  # 16-QAM at dc=2
+    assert not fused_shapes_ok(preset("gf3-fast"), 128)  # scoped-buf OOM
+    assert not fused_shapes_ok(preset("gf3-turbo"), 1024)   # 64-QAM: always XLA
+    assert not fused_shapes_ok(preset("gf3-turbo"), 1)
+    assert not fused_shapes_ok(ModemConfig(pilot_spacing=0), 1024)
+    assert not fused_shapes_ok(ModemConfig(pilot_spacing=280), 1024)
 
 
 def test_cut_symbols_kernel_matches_xla():

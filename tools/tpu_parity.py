@@ -72,14 +72,16 @@ def main() -> int:
 
     from gf3x.ops.pallas.fused_eq import fused_shapes_ok
 
-    for bps in (2, 4, 6):
+    for bps in (2, 4):
         cfg = GF3_STANDARD.replace(bits_per_symbol=bps, fec="none",
                                    chanest_taps=0)
         m = Modem(cfg)
         rng = np.random.default_rng(bps)
         # the bench batch: a shape the production router actually sends to
         # the kernel (smaller batches are refused by fused_shapes_ok — XLA
-        # scopes their mid-size buffers into VMEM and OOMs the 16 MB limit)
+        # scopes their mid-size buffers into VMEM and OOMs the 16 MB limit;
+        # 64-QAM is routed to the XLA twin outright: its kernel's scoped
+        # stack measures 21-23 MB on v5e at any chunking — checked below)
         B = 1024
         assert fused_shapes_ok(cfg, B), (bps, B)
         info = rng.integers(0, 2, (B, cfg.payload_bits_per_frame),
@@ -109,6 +111,22 @@ def main() -> int:
         soft_err = float(np.max(np.abs(llr_p - llr_x))) / (scale + 1e-12)
         check(f"fused_eq:{bps}bps", hard_ok and soft_err < 0.03,
               f"max soft err {soft_err:.2e} of mean |LLR|")
+
+    # 64-QAM: the router must refuse the fused kernel (scoped-VMEM overflow,
+    # see fused_shapes_ok) and the XLA twin must decode a coded gf3-turbo
+    # frame end to end on the chip
+    cfg6 = preset("gf3-turbo")
+    assert not fused_shapes_ok(cfg6, 1024)
+    m6 = Modem(cfg6)
+    rng = np.random.default_rng(66)
+    pay6 = bytes(rng.integers(0, 256, 1200, dtype=np.uint8))
+    wav6 = m6.encode(pay6, "t.bin")
+    rx6 = np.zeros(wav6.size + 4000, np.float32)
+    rx6[1500: 1500 + wav6.size] = 0.6 * wav6
+    rx6 += (rng.standard_normal(rx6.size) * 3e-3).astype(np.float32)
+    r6 = m6.decode(rx6)
+    check("qam64_xla_twin_decode", r6.crc_ok and r6.payload == pay6,
+          "gf3-turbo on-chip decode via the XLA tail")
 
     # ---- 3. Pallas LDPC vs XLA min-sum, bit-exact + diag
     from gf3x.fec.codes import N_BLOCK_COLS
