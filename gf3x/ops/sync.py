@@ -228,7 +228,12 @@ def gather_cut(rx: jnp.ndarray, starts: jnp.ndarray, need: int,
         r = jnp.clip(sflat, 0, block - 1).reshape(tuple(lead))
         return win, r
     q = jnp.clip(sflat // block, 0, qcap)
-    if on_tpu and B % 8 == 0 and 2 * 8 * (nf + 8) * block * 4 <= _pallas_stage_bytes():
+    # the Pallas kernels' in-VMEM extraction is vector loads at offset
+    # q·block — Mosaic requires the lane index provably 128-aligned, so
+    # sub-128 blocks (tiny-CP configs) take the XLA fallback
+    aligned = block % 128 == 0
+    if (on_tpu and aligned and B % 8 == 0
+            and 2 * 8 * (nf + 8) * block * 4 <= _pallas_stage_bytes()):
         # whole-8-row-group DMA through VMEM staging + lane-aligned
         # extraction: every input byte moves once, straight off the caller's
         # (B, T) layout (~4× the XLA form, no pad/relayout copy at all)
@@ -237,7 +242,7 @@ def gather_cut(rx: jnp.ndarray, starts: jnp.ndarray, need: int,
     else:
         rxp = jnp.pad(rx2[:, : nf * block], ((0, 0), (0, 8 * block)))
         xb = rxp.reshape(-1, nf + 8, block)
-        if on_tpu:
+        if on_tpu and aligned:
             # one contiguous per-row DMA on the (B, n_blocks, block) tile
             # view (~2× the vmap'd dynamic_slice below, which pays the 2-D
             # layout's 8-row tile interleave — see ops/pallas/gather_cut.py)
@@ -274,7 +279,14 @@ def cut_symbols(rx: jnp.ndarray, starts: jnp.ndarray, *, S: int, n_fft: int,
     nf = T // block
     nb = -(-(need + block) // block)
     nb = -(-nb // 8) * 8
-    if (computation_on_tpu() and B % 8 == 0 and nf + 8 - nb >= 0
+    # Mosaic vector loads need every extraction offset (q·block + body_off
+    # + s·sym_len + cp, and q·block + sc_off) provably 128-lane-aligned:
+    # true for GF3 geometries (cp 256, sym_len 1280, sc_off 384), false for
+    # tiny-CP configs, which take the XLA fallback below (caught on
+    # hardware by tools/tpu_parity.py — CI's interpret mode never checks)
+    aligned = (block % 128 == 0 and body_off % 128 == 0 and cp % 128 == 0
+               and sym_len % 128 == 0 and (sc_off < 0 or sc_off % 128 == 0))
+    if (computation_on_tpu() and aligned and B % 8 == 0 and nf + 8 - nb >= 0
             and 2 * 8 * (nf + 8) * block * 4 <= _pallas_stage_bytes()):
         from .pallas.gather_cut import cut_symbols_tpu
         sflat = jnp.broadcast_to(starts.astype(jnp.int32),

@@ -170,9 +170,11 @@ def main() -> int:
                                         block, nb))
     check("gather_cut_group", np.array_equal(g, ref), f"B={Bq} nb={nb}")
 
+    # the GF3 production geometry (every extraction offset 128-aligned —
+    # the kernel's documented contract; unaligned geometries route to XLA)
     S, n_fft, cp = 8, 1024, 256
     sym_len = n_fft + cp
-    body_off, sc_off = sym_len, 100
+    body_off, sc_off = sym_len, cp + cp // 4 + block // 2
     syms, scw = cut_symbols_tpu(jnp.asarray(rxq), jnp.asarray(q), block, S,
                                 n_fft, body_off, sym_len, cp, sc_off)
     win = ref
