@@ -27,9 +27,11 @@ import time
 import numpy as np
 
 B = 1024            # frames per sub-batch (config 5: "1024 parallel frames")
-SCAN_BATCHES = 64   # sub-batches decoded per dispatched program
+SCAN_BATCHES = 256  # sub-batches decoded per dispatched program (the ~25 ms
+                    # tunneled-PJRT dispatch floor amortizes to <0.1 ms/step;
+                    # a real streaming receiver never leaves the device)
 MARGIN = 4096       # random-delay headroom per recording (samples)
-STEPS = 4           # timed dispatches (each = SCAN_BATCHES sub-batches)
+STEPS = 3           # timed dispatches (each = SCAN_BATCHES sub-batches)
 
 
 def build_batch(modem, B: int, margin: int, rng) -> tuple[np.ndarray, bytes, np.ndarray]:
@@ -167,14 +169,21 @@ def main():
         # the body depends on the carry so XLA cannot hoist it (the
         # measurement trap in ARCHITECTURE.md rule 4c), and each iteration
         # re-streams the 190 MB batch from HBM exactly as a fresh arrival
-        # would; a materialized (SCAN_BATCHES, B, T) broadcast measured the
-        # same per-sub-batch time while holding 32× the memory
+        # would. The batch rides the CARRY and is perturbed by a 1-element
+        # in-place update: scan aliases carried buffers, so the
+        # anti-hoisting dependence costs O(1) — the earlier `rx + c·1e-30`
+        # form materialized a fresh 190 MB copy every iteration, ~0.6 ms of
+        # measurement artifact a real streaming receiver never pays
+        # (measured 4.79 → 4.21 ms/step).
         def step(carry, _):
-            bits, diag = modem.demodulate(rx + carry * jnp.float32(1e-30))
-            return (carry
-                    + jnp.sum(bits.astype(jnp.int32)).astype(jnp.float32)
-                    + jnp.sum(diag.sync_start).astype(jnp.float32)), 0
-        acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=SCAN_BATCHES)
+            acc, r = carry
+            r = r.at[0, 0].add(acc * jnp.float32(1e-30))
+            bits, diag = modem.demodulate(r)
+            acc = (acc + jnp.sum(bits.astype(jnp.int32)).astype(jnp.float32)
+                   + jnp.sum(diag.sync_start).astype(jnp.float32))
+            return (acc, r), 0
+        (acc, _), _ = jax.lax.scan(step, (jnp.float32(0), rx), None,
+                                   length=SCAN_BATCHES)
         return acc
 
     # correctness gate: the benchmark only counts decodes that recover bits
@@ -207,9 +216,12 @@ def main():
     @jax.jit
     def win_scan(w):
         def step(carry, _):
-            b, _d = modem.demodulate_prewindowed(w + carry * jnp.float32(1e-30))
-            return carry + jnp.sum(b.astype(jnp.int32)).astype(jnp.float32), 0
-        acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=SCAN_BATCHES)
+            acc, r = carry
+            r = r.at[0, 0].add(acc * jnp.float32(1e-30))
+            b, _d = modem.demodulate_prewindowed(r)
+            return (acc + jnp.sum(b.astype(jnp.int32)).astype(jnp.float32), r), 0
+        (acc, _), _ = jax.lax.scan(step, (jnp.float32(0), w), None,
+                                   length=SCAN_BATCHES)
         return acc
 
     # cut each window at its frame's true onset (the streaming receiver's
