@@ -60,7 +60,8 @@ def _tables(n: int):
 
 
 def fft_mm(x: jnp.ndarray, n: int,
-           precision: jax.lax.Precision | None = None) -> jnp.ndarray:
+           precision: jax.lax.Precision | None = None,
+           n_out: int | None = None) -> jnp.ndarray:
     """Forward complex FFT of length n (power of two ≥ 2^14) over the last
     axis via two MXU matmul stages. x: (..., m) complex64, zero-padded or
     truncated to n. Output index k = n2·c + d is returned as the (..., d, c)
@@ -70,6 +71,12 @@ def fft_mm(x: jnp.ndarray, n: int,
     HIGHEST (default, f32/bf16x6) ~1e-6; HIGH (bf16x3) ~1e-5; DEFAULT (one
     bf16 pass) ~4e-3 (−45 dB) — pick per consumer: the demod-facing window
     extraction wants ≥HIGH, a peak-picked matched filter tolerates DEFAULT.
+
+    `n_out` prunes the transform to outputs k < n_out (rounded up to a
+    whole n2-column): k = n2·c + d means a prefix of k is a prefix of c
+    columns of the FINAL matmul, so a consumer that reads only the first
+    lags (the bounded-sync matched filter) skips most of the second stage
+    and its output writes. Returns (..., roundup(n_out, n2)) then.
     """
     n1, n2, W2, W1t, T = _tables(n)
     *lead, m = x.shape
@@ -81,14 +88,16 @@ def fft_mm(x: jnp.ndarray, n: int,
     hi = jax.lax.Precision.HIGHEST if precision is None else precision
     G = jnp.matmul(jnp.asarray(W2), xr, precision=hi)       # (..., d, b)
     H = G * jnp.asarray(T)
-    X = jnp.matmul(H, jnp.asarray(W1t), precision=hi)       # (..., d, c)
-    return jnp.swapaxes(X, -1, -2).reshape(*lead, n)        # k = n2·c + d
+    cmax = n1 if n_out is None else min(n1, -(-n_out // n2))
+    X = jnp.matmul(H, jnp.asarray(W1t[:, :cmax]), precision=hi)  # (..., d, c)
+    return jnp.swapaxes(X, -1, -2).reshape(*lead, cmax * n2)  # k = n2·c + d
 
 
 def ifft_mm(X: jnp.ndarray, n: int,
-            precision: jax.lax.Precision | None = None) -> jnp.ndarray:
-    """Inverse complex FFT: conj∘fft∘conj / n."""
-    return jnp.conj(fft_mm(jnp.conj(X), n, precision)) / n
+            precision: jax.lax.Precision | None = None,
+            n_out: int | None = None) -> jnp.ndarray:
+    """Inverse complex FFT: conj∘fft∘conj / n (`n_out` as in `fft_mm`)."""
+    return jnp.conj(fft_mm(jnp.conj(X), n, precision, n_out)) / n
 
 
 def rfft_mm(x: jnp.ndarray, n: int,
@@ -122,12 +131,16 @@ def rfft_mm(x: jnp.ndarray, n: int,
 
 
 def irfft_mm(R: jnp.ndarray, n: int,
-             precision: jax.lax.Precision | None = None) -> jnp.ndarray:
+             precision: jax.lax.Precision | None = None,
+             n_out: int | None = None) -> jnp.ndarray:
     """Half-spectrum → real inverse FFT of length n (inverse of rfft_mm).
 
     Untangles the half spectrum back into the length-n/2 complex transform
     of the packed even/odd sequence and inverts that — half the matmul work
-    of a full-length complex inverse.
+    of a full-length complex inverse. `n_out` computes only the first
+    outputs (rounded up to the four-step's column granularity ×2): packed
+    complex sample j carries real samples 2j and 2j+1, so a real-output
+    prefix is a packed-output prefix.
     """
     h = n // 2
     Xf = R[..., :h]                                         # X[k], k=0..n/2−1
@@ -137,8 +150,9 @@ def irfft_mm(R: jnp.ndarray, n: int,
     Ze = 0.5 * (Xf + Xr)
     Zo = 0.5 * w * (Xf - Xr)
     Z = Ze + 1j * Zo                                        # fft of packed seq
-    z = ifft_mm(Z, h, precision)
+    z = ifft_mm(Z, h, precision,
+                None if n_out is None else -(-n_out // 2))
     *lead, _ = z.shape
     # interleave via dtype view (see rfft_mm): complex64 memory IS the
     # interleaved (re, im) float stream
-    return z.view(jnp.float32)                              # (..., n)
+    return z.view(jnp.float32)                              # (..., ≥n_out)

@@ -68,24 +68,46 @@ def rx_spectrum(rx: jnp.ndarray, nfft: int) -> jnp.ndarray:
     """rfft of the recording at the sync FFT length — computed once and
     shared by the matched filter and the frame-window extraction.
 
-    Stays on jnp.fft: the VPU forward rfft measured 12.6 ms for
-    (1024, 65536) vs 14.4 ms for the matmul four-step form — both
-    HBM-bandwidth-bound, and the VPU form needs no packing.
-    """
+    Stays on jnp.fft (full demod-grade accuracy: `extract_windows_spec`
+    consumers feed the demodulator): the VPU forward rfft measured 12.6 ms
+    for (1024, 65536) vs 14.4 ms for the matmul four-step form at HIGHEST —
+    both HBM-bandwidth-bound at that size. Correlation-only consumers use
+    `_mf_spectrum` instead (matmul at DEFAULT — 5× faster at the bounded
+    sync shapes)."""
+    return jnp.fft.rfft(rx, nfft, axis=-1)
+
+
+def _mf_spectrum(rx: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    """Forward transform for peak-picked/thresholded correlations ONLY
+    (the −45 dB single-bf16-pass floor is acceptable there — peaks sit
+    10–40 dB above it): the four-step matmul form at DEFAULT precision
+    measured 0.64 ms vs 3.16 ms for the VPU rfft at (1024, 7689→8192),
+    the bounded-sync shape (r3; the r2 note claiming the VPU form wins at
+    8192 did not reproduce). Never feed this spectrum to
+    `extract_windows_spec` — demod windows need `rx_spectrum`."""
+    from ..utils.device import computation_on_tpu
+    from .mmfft import good_mm_size, rfft_mm
+
+    if good_mm_size(nfft) and computation_on_tpu():
+        return rfft_mm(rx, nfft, jax.lax.Precision.DEFAULT)
     return jnp.fft.rfft(rx, nfft, axis=-1)
 
 
 def _irfft(X: jnp.ndarray, nfft: int,
-           precision: jax.lax.Precision | None = None) -> jnp.ndarray:
+           precision: jax.lax.Precision | None = None,
+           n_out: int | None = None) -> jnp.ndarray:
     """Inverse real FFT, routed to the MXU matmul formulation on TPU for
     large sizes (the VPU FFT measured 17 ms per (1024, 65536) inverse; the
     four-step matmul form ~12 ms at HIGHEST, ~6 ms at HIGH, ~2 ms at
-    DEFAULT). `precision` applies to the matmul form only."""
+    DEFAULT). `precision` applies to the matmul form only. `n_out` prunes
+    the matmul form to (at least) the first n_out outputs — a correlation
+    that only reads lags < T skips the second-stage columns past T; the
+    VPU fallback always returns the full length. Callers must slice."""
     from ..utils.device import computation_on_tpu
     from .mmfft import good_mm_size, irfft_mm
 
     if good_mm_size(nfft) and computation_on_tpu():
-        return irfft_mm(X, nfft, precision)
+        return irfft_mm(X, nfft, precision, n_out)
     return jnp.fft.irfft(X, nfft, axis=-1).astype(jnp.float32)
 
 
@@ -97,7 +119,7 @@ def matched_filter_spec(R: jnp.ndarray, chirp: np.ndarray, T: int, nfft: int) ->
     NCC-thresholded, never demodulated, and the correlation peak sits
     10–40 dB above the floor at any decodable SNR."""
     c_f = jnp.asarray(np.conj(np.fft.rfft(chirp, nfft)).astype(np.complex64))
-    M = _irfft(R * c_f, nfft, jax.lax.Precision.DEFAULT)
+    M = _irfft(R * c_f, nfft, jax.lax.Precision.DEFAULT, n_out=T)
     return M[..., :T].astype(jnp.float32)
 
 
@@ -115,7 +137,7 @@ def matched_filter(rx: jnp.ndarray, chirp: np.ndarray,
     T = rx.shape[-1]
     if nfft is None:
         nfft = sync_nfft(T, len(chirp))
-    return matched_filter_spec(rx_spectrum(rx, nfft), chirp, T, nfft)
+    return matched_filter_spec(_mf_spectrum(rx, nfft), chirp, T, nfft)
 
 
 def streaming_matched_filter(rx: jnp.ndarray, chirp: np.ndarray,
@@ -138,7 +160,8 @@ def streaming_matched_filter(rx: jnp.ndarray, chirp: np.ndarray,
 
     def body(carry, i):
         seg = jax.lax.dynamic_slice_in_dim(rx_pad, i * chunk, chunk + L, axis=-1)
-        m = _irfft(jnp.fft.rfft(seg, F, axis=-1) * c_f, F)
+        m = _irfft(_mf_spectrum(seg, F) * c_f, F,
+                   jax.lax.Precision.DEFAULT, n_out=chunk)
         return carry, m[..., :chunk].astype(jnp.float32)
 
     _, ms = jax.lax.scan(body, 0, jnp.arange(n_chunks))

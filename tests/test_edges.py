@@ -86,6 +86,25 @@ def test_mmfft_parity_multiple_sizes():
         assert np.max(np.abs(back - refb)) < 2e-3 * np.max(np.abs(refb) + 1e-9)
 
 
+def test_mmfft_output_pruning_is_a_prefix():
+    """n_out prunes second-stage columns; the kept prefix must match the
+    unpruned transform (same math, fewer columns — only matmul-tiling
+    rounding may differ) and be at least n_out long."""
+    import jax.numpy as jnp
+    from gf3x.ops.mmfft import irfft_mm, rfft_mm
+    rng = np.random.default_rng(3)
+    n = 1 << 14
+    x = rng.standard_normal((3, n - 511)).astype(np.float32)
+    R = rfft_mm(jnp.asarray(x), n)
+    full = np.asarray(irfft_mm(R, n))
+    scale = np.max(np.abs(full))
+    for n_out in (1, 257, n // 2 - 3, n):
+        part = np.asarray(irfft_mm(R, n, n_out=n_out))
+        assert part.shape[-1] >= n_out
+        np.testing.assert_allclose(
+            part, full[..., : part.shape[-1]], atol=1e-5 * scale, rtol=0)
+
+
 def test_safe_filename_strips_traversal():
     from gf3x.utils.bits import safe_filename
     assert safe_filename("report.txt") == "report.txt"
