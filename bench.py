@@ -84,8 +84,15 @@ def matmul_flops_per_frame(cfg, search_len: int) -> float:
     # helper — a private copy here drifted once already)
     nfft = bounded_sync_nfft(cfg.frame_len + search_len, search_len,
                              cfg.chirp_len, decimate=2)
+    from gf3x.ops.sync import _MF_DIRECT_MAX_W
+
+    T = cfg.frame_len + search_len
+    seg = (min(search_len, T) + cfg.chirp_len) // 2
+    n_lags = min(search_len, T) // 2
     flops = 0.0
-    if good_mm_size(nfft):
+    if seg * n_lags <= _MF_DIRECT_MAX_W:
+        flops += 2 * seg * n_lags                        # direct Toeplitz MF
+    elif good_mm_size(nfft):
         h = nfft // 2
         n1, n2 = _split(h)
         # complex matmul = 4 real matmuls of 2·M·K·N flops each
@@ -114,13 +121,22 @@ def hbm_bytes_per_step(cfg, T: int, B: int, search_len: int) -> dict:
     LP = -(-cfg.n_data_bins * cfg.bits_per_symbol // 8) * 8
     ncw, z = cfg.n_codewords, cfg.ldpc_z
 
+    from gf3x.ops.sync import _MF_DIRECT_MAX_W
+
     F = bounded_sync_nfft(T, search_len, cfg.chirp_len, decimate=2)
     seg = (min(search_len, T) + cfg.chirp_len) // 2
-    sync = B * 4 * (seg                  # decimated prefix read
-                    + 2 * F              # rfft write (c64 = 8B/2 halves ≈ 2F f32)
-                    + 2 * F              # spectrum read by the irfft matmuls
-                    + F                  # |m| write
-                    + 2 * F)             # argmax + first-arrival passes
+    n_lags = min(search_len, T) // 2
+    if seg * n_lags <= _MF_DIRECT_MAX_W:
+        # direct Toeplitz-matmul matched filter (the routing rule in
+        # ops/sync._mf_bounded_abs): seg read + bf16 weights + |m| write
+        # + argmax/first-arrival passes over |m|
+        sync = (B * 4 * (seg + 3 * n_lags) + 2 * seg * n_lags)
+    else:
+        sync = B * 4 * (seg              # decimated prefix read
+                        + 2 * F          # rfft write (c64 = 8B/2 halves ≈ 2F f32)
+                        + 2 * F          # spectrum read by the irfft matmuls
+                        + F              # |m| write
+                        + 2 * F)         # argmax + first-arrival passes
     cut = B * 4 * (T                     # whole recording through the DMA stage
                    + n_sym * cfg.n_fft   # DFT-ready symbol matrix write
                    + cfg.n_fft)          # SC window write

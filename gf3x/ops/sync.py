@@ -11,6 +11,8 @@ program over a (batch, T) recording block.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -138,6 +140,60 @@ def matched_filter(rx: jnp.ndarray, chirp: np.ndarray,
     if nfft is None:
         nfft = sync_nfft(T, len(chirp))
     return matched_filter_spec(_mf_spectrum(rx, nfft), chirp, T, nfft)
+
+
+#: Element budget for the direct-correlation weight matrix (64 MB at bf16).
+#: Above this the FFT form wins on memory traffic; below it, one big MXU
+#: matmul beats the multi-relayout FFT pipeline outright.
+_MF_DIRECT_MAX_W = 32 << 20
+
+
+@functools.lru_cache(maxsize=8)
+def _toeplitz_mf_weights(chirp_key: bytes, seg_len: int,
+                         n_lags: int) -> np.ndarray:
+    """Host-built (seg_len, n_lags) correlation weights W[j, n] = c[j − n]
+    (zero outside 0 ≤ j − n < len(c)), so seg @ W is the linear matched
+    filter at lags [0, n_lags) — identical math to the zero-padded FFT
+    cross-correlation. Cached per (chirp, geometry)."""
+    c = np.frombuffer(chirp_key, dtype=np.float32)
+    W = np.zeros((seg_len, n_lags), np.float32)
+    for n in range(n_lags):
+        j1 = min(n + len(c), seg_len)
+        W[n:j1, n] = c[: j1 - n]
+    return W
+
+
+def matched_filter_direct(seg: jnp.ndarray, chirp: np.ndarray,
+                          n_lags: int) -> jnp.ndarray:
+    """|matched filter| over lags [0, n_lags) as ONE bf16 MXU matmul.
+
+    The bounded sync search correlates a (B, ~8k) prefix against a ~5k-tap
+    chirp for ~2k lags — an ideally-shaped (M=B, K=seg, N=lags) matmul the
+    MXU runs at ~0.2 ms where the FFT pipeline (pack → two matmul stages →
+    mult → two matmul stages → unpack) measured ~1.2 ms at B=1024 on v5e.
+    bf16 inputs move the argmax by ≤1 sample on ~9 % of noisy rows
+    (measured); the CP backoff absorbs timing error of that class, and the
+    6 dB first-arrival refinement re-picks within the same |m| array either
+    way. Peak-picked/thresholded consumers ONLY — never demodulate this.
+    """
+    W = _toeplitz_mf_weights(
+        np.ascontiguousarray(chirp, np.float32).tobytes(),
+        seg.shape[-1], n_lags)
+    m = jnp.matmul(seg.astype(jnp.bfloat16), jnp.asarray(W, jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    return jnp.abs(m)
+
+
+def _mf_bounded_abs(seg: jnp.ndarray, chirp: np.ndarray, n_lags: int,
+                    nfft: int) -> jnp.ndarray:
+    """|m| over the bounded lag range: direct MXU correlation when the
+    weight matrix fits the budget (TPU only), FFT cross-correlation
+    otherwise (CPU, or searches too wide for a resident Toeplitz)."""
+    from ..utils.device import computation_on_tpu
+
+    if computation_on_tpu() and seg.shape[-1] * n_lags <= _MF_DIRECT_MAX_W:
+        return matched_filter_direct(seg, chirp, n_lags)
+    return jnp.abs(matched_filter(seg, chirp, nfft=nfft))[..., :n_lags]
 
 
 def streaming_matched_filter(rx: jnp.ndarray, chirp: np.ndarray,
@@ -373,7 +429,7 @@ def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray,
             seg = seg[..., ::decimate]
             c_d = chirp[::decimate]
             n_lags = min(S // decimate, seg.shape[-1])
-            mabs_d = jnp.abs(matched_filter(seg, c_d, nfft=F))[..., :n_lags]
+            mabs_d = _mf_bounded_abs(seg, c_d, n_lags, F)
             peak = jnp.argmax(mabs_d, axis=-1).astype(jnp.int32)
             peak_val = jnp.max(mabs_d, axis=-1)
             start = _first_arrival(mabs_d, peak, peak_val,
@@ -381,7 +437,7 @@ def find_frame_start(cfg: ModemConfig, rx: jnp.ndarray, chirp: np.ndarray,
             metric = peak_val / (jnp.mean(mabs_d, axis=-1) + 1e-12)
             return (decimate * start).astype(jnp.int32), metric
         n_lags = min(S, seg.shape[-1])
-        mabs = jnp.abs(matched_filter(seg, chirp, nfft=F))[..., :n_lags]
+        mabs = _mf_bounded_abs(seg, chirp, n_lags, F)
     elif R is not None:
         mabs = jnp.abs(matched_filter_spec(R, chirp, rx.shape[-1], nfft))
     else:
