@@ -137,7 +137,13 @@ def hbm_bytes_per_step(cfg, T: int, B: int, search_len: int) -> dict:
                         + 2 * F          # spectrum read by the irfft matmuls
                         + F              # |m| write
                         + 2 * F)         # argmax + first-arrival passes
-    cut = B * 4 * (T                     # whole recording through the DMA stage
+    # span-staged cut (Modem passes max_start_span = max_delay + block when
+    # the sync search is bounded): each row group stages only span + window
+    blk = max(1, min(128, cfg.cp // 2))
+    need_c = cfg.sc_len + n_sym * cfg.symbol_len
+    nb = -(-(-(-(need_c + blk) // blk)) // 8) * 8
+    staged = min(((search_len + blk) // blk + 1 + nb) * blk, T)
+    cut = B * 4 * (staged                # staged recording span per row
                    + n_sym * cfg.n_fft   # DFT-ready symbol matrix write
                    + cfg.n_fft)          # SC window write
     dft = B * 4 * (n_sym * cfg.n_fft     # symbol matrix read (bf16x3 reads

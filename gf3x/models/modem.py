@@ -179,7 +179,8 @@ class Modem:
         CP."""
         return max(1, min(128, self.cfg.cp // 2))
 
-    def _cut_frame(self, rx: jnp.ndarray, start: jnp.ndarray):
+    def _cut_frame(self, rx: jnp.ndarray, start: jnp.ndarray,
+                   bounded: bool = False):
         """Sync position → (syms (..., S, n_fft), sc_win or None, roll).
 
         The cut is a pure BLOCK-ALIGNED extraction (`cut_symbols`: one
@@ -210,10 +211,16 @@ class Modem:
         # centre the ±block misalignment inside the SC guard budget
         sc_off = (cfg.cp + backoff + self._cut_block // 2
                   if cfg.use_schmidl_cox else -1)
+        # `bounded`: the start came from the bounded sync search (every
+        # onset in [0, max_delay)), so across any row group the cut bases
+        # spread at most max_delay + one block — the cut kernel then stages
+        # only (span + window) per group instead of the whole prefix
+        span = (self.max_delay + self._cut_block
+                if bounded and self.max_delay is not None else None)
         return cut_symbols(rx, base, S=S, n_fft=cfg.n_fft,
                            sym_len=cfg.symbol_len, cp=cfg.cp,
                            body_off=cfg.sc_len, sc_off=sc_off,
-                           block=self._cut_block)
+                           block=self._cut_block, max_start_span=span)
 
     def _sc_of(self, sc_win: Optional[jnp.ndarray], lead: tuple) -> jnp.ndarray:
         """SC-symbol presence metric (≈1 on a frame) from its n_fft window."""
@@ -562,7 +569,7 @@ class Modem:
 
     def _demod_synced(self, rx: jnp.ndarray, start: jnp.ndarray,
                       metric: jnp.ndarray,
-                      sfo_correct: bool = False):
+                      sfo_correct: bool = False, bounded: bool = False):
         """Shared decode tail once a frame start is known: cut → demap →
         FEC → DecodeDiag. `sfo_correct` inserts the clock-offset loop
         (SC coarse estimate → warped-DFT demod → slope residual → final
@@ -571,7 +578,7 @@ class Modem:
 
         cfg = self.cfg
         lead = rx.shape[:-1]
-        syms, sc_win, roll = self._cut_frame(rx, start)
+        syms, sc_win, roll = self._cut_frame(rx, start, bounded=bounded)
         delta = (self._two_pass_delta(syms, sc_win, roll)
                  if sfo_correct else None)
         llr_like, (H, nv, slope, cpe, evm, mabs) = self._demod_syms(
@@ -608,7 +615,8 @@ class Modem:
         start, metric = find_frame_start(
             self.cfg, rx, self.chirp, search_len=self.max_delay,
             decimate=self._sync_decimate if self.max_delay else 1)
-        return self._demod_synced(rx, start, metric)
+        return self._demod_synced(rx, start, metric,
+                                  bounded=self.max_delay is not None)
 
     def demodulate_sfo(self, rx: jnp.ndarray):
         """Clock-offset-robust RX (SURVEY.md:133/:399 "fractional CFO from
@@ -622,7 +630,8 @@ class Modem:
         start, metric = find_frame_start(
             self.cfg, rx, self.chirp, search_len=self.max_delay,
             decimate=self._sync_decimate if self.max_delay else 1)
-        return self._demod_synced(rx, start, metric, sfo_correct=True)
+        return self._demod_synced(rx, start, metric, sfo_correct=True,
+                                  bounded=self.max_delay is not None)
 
     def demodulate_sc(self, rx: jnp.ndarray, sfo_correct: bool = False):
         """RX stack synced by the Schmidl–Cox plateau instead of the chirp —

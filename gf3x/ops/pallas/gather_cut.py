@@ -179,21 +179,29 @@ def gather_cut_tpu(rxb: jnp.ndarray, q: jnp.ndarray, K: int,
     )(q.astype(jnp.int32), rxb)
 
 
-def _symbols_kernel(q_ref, rxp_ref, syms_ref, scw_ref, s0, s1, sem0, sem1,
-                    *, block: int, Tf: int, S: int, n_fft: int,
-                    body_off: int, sym_len: int, cp: int, sc_off: int):
+def _symbols_kernel(q_ref, qb_ref, rxp_ref, syms_ref, scw_ref, s0, s1,
+                    sem0, sem1, *, block: int, R: int, Wr: int, S: int,
+                    n_fft: int, body_off: int, sym_len: int, cp: int,
+                    sc_off: int):
     g = pl.program_id(0)
     G = pl.num_programs(0)
 
     def dma(gg, sref, sem):
+        # one (R, Wr) group DMA per step, based at the group's smallest
+        # window block (qb, pre-clamped so base + Wr stays inside the
+        # whole-block prefix): the staged span covers every row's window
+        base = pl.multiple_of(qb_ref[gg] * block, block)
         return pltpu.make_async_copy(
-            rxp_ref.at[pl.ds(gg * 8, 8), pl.ds(0, Tf)],
-            sref.at[:, pl.ds(0, Tf)], sem)
+            rxp_ref.at[pl.ds(gg * R, R), pl.ds(base, Wr)],
+            sref.at[:, pl.ds(0, Wr)], sem)
 
     @pl.when(g == 0)
     def _():
-        s0[:, Tf:] = jnp.zeros_like(s0[:, Tf:])
-        s1[:, Tf:] = jnp.zeros_like(s1[:, Tf:])
+        # scratch tail past the staged span: zeros once — windows that
+        # overrun the recording's whole-block prefix read zeros (the
+        # gather_cut boundary semantics); DMAs never write it
+        s0[:, Wr:] = jnp.zeros_like(s0[:, Wr:])
+        s1[:, Wr:] = jnp.zeros_like(s1[:, Wr:])
         dma(0, s0, sem0).start()
 
     even = jax.lax.rem(g, 2) == 0
@@ -208,12 +216,13 @@ def _symbols_kernel(q_ref, rxp_ref, syms_ref, scw_ref, s0, s1, sem0, sem1,
 
     def extract(sref, sem):
         dma(g, sref, sem).wait()
-        for r in range(8):
-            off = pl.multiple_of(q_ref[g * 8 + r] * block, block)
+        for r in range(R):
+            off = pl.multiple_of((q_ref[g * R + r] - qb_ref[g]) * block,
+                                 block)
             for s in range(S):
                 # dynamic base (128-multiple) + static symbol offset: one
                 # vector copy per OFDM symbol, written CP-stripped straight
-                # into the (8, S, n_fft) output block — the downstream DFT
+                # into the (R, S, n_fft) output block — the downstream DFT
                 # matmul consumes this layout with no reshape/slice copy
                 a = body_off + s * sym_len + cp
                 syms_ref[r, s, :] = sref[r, pl.ds(off + a, n_fft)]
@@ -229,47 +238,57 @@ def _symbols_kernel(q_ref, rxp_ref, syms_ref, scw_ref, s0, s1, sem0, sem1,
         extract(s1, sem1)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
-def cut_symbols_tpu(rxp: jnp.ndarray, q: jnp.ndarray, block: int, S: int,
-                    n_fft: int, body_off: int, sym_len: int, cp: int,
-                    sc_off: int, interpret: bool = False):
-    """Fused frame cut + symbol extraction: rxp (B, T) f32 (B % 8 == 0),
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+def cut_symbols_tpu(rxp: jnp.ndarray, q: jnp.ndarray, qb: jnp.ndarray,
+                    block: int, S: int, n_fft: int, body_off: int,
+                    sym_len: int, cp: int, sc_off: int, rows: int,
+                    ws_blocks: int, interpret: bool = False):
+    """Fused frame cut + symbol extraction: rxp (B, T) f32 (B % rows == 0),
     q (B,) int32 block index of each row's window start → (syms, scw):
     syms (B, S, n_fft) = CP-stripped OFDM symbol s at
     rxp[i, q·block + body_off + s·sym_len + cp :][:n_fft], and
     scw (B, n_fft) at q·block + sc_off (sc_off < 0 → zeros; pass the
     Schmidl–Cox window offset within the cut otherwise). Samples past the
     recording's whole-block prefix read as zeros, exactly like
-    `gather_cut`. The caller guarantees
-    q·block + body_off + (S−1)·sym_len + cp + n_fft ≤ floor(T/block)·block
-    + 8·block (the `max_cut_start` clamp with the same `need`)."""
+    `gather_cut`.
+
+    `rows` rows are cut per grid step (one group DMA each — amortizes the
+    ~5 µs/step grid cost AND the DMA issue cost over more work).
+    `ws_blocks` is the staged span in blocks: each step stages only
+    [qb·block, qb·block + ws_blocks·block) of the recording, where qb
+    (B/rows,) is the per-group base block from `cut_span_bases` — the
+    whole-prefix case is ws_blocks = nf with qb = 0, the bounded-search
+    case stages just (q spread + window) per group. The caller guarantees
+    (per `cut_span_bases`): 0 ≤ q − qb ≤ ws_blocks − nb (window blocks nb),
+    qb·block + ws_blocks·block ≤ floor(T/block)·block, and
+    q·block + need ≤ floor(T/block)·block + 8·block (`max_cut_start`)."""
     B, T = rxp.shape
-    Tf = (T // block) * block
-    Ws = Tf + 8 * block
-    assert B % 8 == 0
+    Wr = ws_blocks * block
+    Ws = Wr + 8 * block
+    assert B % rows == 0 and Wr <= (T // block) * block
     # sc_off < 0 (no Schmidl–Cox symbol): shrink the never-written second
     # output to one lane tile instead of hauling (B, n_fft) of uninitialized
     # VMEM back to HBM every grid step
     n_sc = n_fft if sc_off >= 0 else 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B // 8,),
+        num_scalar_prefetch=2,
+        grid=(B // rows,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec((8, S, n_fft), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((rows, S, n_fft), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n_sc), lambda g, *_: (g, 0),
+            pl.BlockSpec((rows, n_sc), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((8, Ws), jnp.float32),
-            pltpu.VMEM((8, Ws), jnp.float32),
+            pltpu.VMEM((rows, Ws), jnp.float32),
+            pltpu.VMEM((rows, Ws), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_symbols_kernel, block=block, Tf=Tf, S=S,
+        functools.partial(_symbols_kernel, block=block, R=rows, Wr=Wr, S=S,
                           n_fft=n_fft, body_off=body_off, sym_len=sym_len,
                           cp=cp, sc_off=sc_off),
         grid_spec=grid_spec,
@@ -278,4 +297,4 @@ def cut_symbols_tpu(rxp: jnp.ndarray, q: jnp.ndarray, block: int, S: int,
             jax.ShapeDtypeStruct((B, n_sc), jnp.float32),
         ),
         interpret=interpret,
-    )(q.astype(jnp.int32), rxp)
+    )(q.astype(jnp.int32), qb.astype(jnp.int32), rxp)

@@ -192,8 +192,56 @@ def test_cut_symbols_kernel_matches_xla():
     nb = -(-nb // 8) * 8
     nf = T // block
     q = np.clip(starts // block, 0, nf + 8 - nb)
-    syms, scw = cut_symbols_tpu(jnp.asarray(rx), jnp.asarray(q), block, S,
-                                n_fft, body_off, sym_len, cp, sc_off, True)
-    assert np.array_equal(np.asarray(syms), np.asarray(ref_syms))
-    assert np.array_equal(np.asarray(scw), np.asarray(ref_scw))
+    for rows in (8, 16):
+        # whole-prefix staging (ws = nf, base 0 per group)
+        qb = np.zeros(B // rows, np.int32)
+        syms, scw = cut_symbols_tpu(jnp.asarray(rx), jnp.asarray(q),
+                                    jnp.asarray(qb), block, S, n_fft,
+                                    body_off, sym_len, cp, sc_off, rows,
+                                    nf, True)
+        assert np.array_equal(np.asarray(syms), np.asarray(ref_syms)), rows
+        assert np.array_equal(np.asarray(scw), np.asarray(ref_scw)), rows
     assert np.array_equal(np.asarray(ref_roll), starts - q * block)
+
+
+def test_cut_symbols_span_staging_matches_xla():
+    """Bounded-span staging (per-group dynamic DMA base): identical output
+    to the whole-prefix form when starts honor the declared span, including
+    windows that overrun the whole-block prefix (zero tail)."""
+    from gf3x.ops.sync import cut_symbols
+
+    rng = np.random.default_rng(9)
+    block, S, n_fft, cp = 128, 4, 512, 128
+    sym_len = n_fft + cp
+    body_off, sc_off = sym_len, 0
+    T = 12 * 1024 + 31                   # ragged tail
+    B = 32
+    span = 2048
+    rx = rng.standard_normal((B, T)).astype(np.float32)
+    # starts bounded to [base0, base0 + span): the bounded-sync contract;
+    # lands some windows past the whole-block prefix (zero-tail semantics)
+    base0 = T - span - body_off - S * sym_len - 64
+    starts = (base0 + rng.integers(0, span, B)).astype(np.int32)
+    ref_syms, ref_scw, _ = cut_symbols(
+        jnp.asarray(rx), jnp.asarray(starts), S=S, n_fft=n_fft,
+        sym_len=sym_len, cp=cp, body_off=body_off, sc_off=sc_off,
+        block=block)
+    # the wrapper's span-mode routing math, driven through the kernel's
+    # interpret mode (the CPU wrapper always takes the XLA fallback)
+    from gf3x.ops.pallas.gather_cut import cut_symbols_tpu
+
+    need = max(body_off + S * sym_len, sc_off + n_fft)
+    nb = -(-(need + block) // block)
+    nb = -(-nb // 8) * 8
+    nf = T // block
+    ws = min(span // block + 1 + nb, nf)
+    q = np.clip(starts // block, 0, nf + 8 - nb)
+    for rows in (8, 16):
+        qb = np.clip(q.reshape(-1, rows).min(axis=1), 0, max(nf - ws, 0))
+        qq = np.minimum(q, np.repeat(qb, rows) + (ws + 8 - nb))
+        syms, scw = cut_symbols_tpu(jnp.asarray(rx), jnp.asarray(qq),
+                                    jnp.asarray(qb), block, S, n_fft,
+                                    body_off, sym_len, cp, sc_off, rows,
+                                    ws, True)
+        assert np.array_equal(np.asarray(syms), np.asarray(ref_syms)), rows
+        assert np.array_equal(np.asarray(scw), np.asarray(ref_scw)), rows
