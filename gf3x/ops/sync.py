@@ -394,7 +394,14 @@ def cut_symbols(rx: jnp.ndarray, starts: jnp.ndarray, *, S: int, n_fft: int,
         # beyond the staged span clamp into it (documented above)
         qb = jnp.min(q.reshape(-1, rows), axis=1)
         qb = jnp.clip(qb, 0, max(nf - ws, 0))
-        q = jnp.minimum(q, qb.repeat(rows) + (ws + 8 - nb))
+        # clamp span-violating rows to a FULLY-staged window so the result
+        # equals this function's output at the clamped start; the 8-block
+        # slack (windows overrunning the staged span read the kernel's zero
+        # tail) is only correct when the span butts the recording prefix
+        # end — there "past the span" and "past the recording" coincide
+        qbr = qb.repeat(rows)
+        slack = jnp.where(qbr >= nf - ws, 8, 0)
+        q = jnp.minimum(q, qbr + (ws - nb) + slack)
         syms, scw = cut_symbols_tpu(rx.reshape(-1, T), q, qb, block, S,
                                     n_fft, body_off, sym_len, cp, sc_off,
                                     rows, ws)

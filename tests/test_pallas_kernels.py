@@ -238,10 +238,36 @@ def test_cut_symbols_span_staging_matches_xla():
     q = np.clip(starts // block, 0, nf + 8 - nb)
     for rows in (8, 16):
         qb = np.clip(q.reshape(-1, rows).min(axis=1), 0, max(nf - ws, 0))
-        qq = np.minimum(q, np.repeat(qb, rows) + (ws + 8 - nb))
+        qbr = np.repeat(qb, rows)
+        qq = np.minimum(q, qbr + (ws - nb) + np.where(qbr >= nf - ws, 8, 0))
         syms, scw = cut_symbols_tpu(jnp.asarray(rx), jnp.asarray(qq),
                                     jnp.asarray(qb), block, S, n_fft,
                                     body_off, sym_len, cp, sc_off, rows,
                                     ws, True)
         assert np.array_equal(np.asarray(syms), np.asarray(ref_syms)), rows
         assert np.array_equal(np.asarray(scw), np.asarray(ref_scw)), rows
+
+    # a start that VIOLATES the declared span clamps into it (the wrapper's
+    # documented mis-cut semantics): the kernel at the clamped q equals the
+    # XLA reference cut at the clamped start — never an out-of-bounds read
+    rows = 8
+    bad = starts.copy()
+    bad[3] = 0                                     # far below the group span
+    qv = np.clip(bad // block, 0, nf + 8 - nb)
+    qbv = np.clip(qv.reshape(-1, rows).min(axis=1), 0, max(nf - ws, 0))
+    qbr = np.repeat(qbv, rows)
+    qc = np.minimum(qv, qbr + (ws - nb) + np.where(qbr >= nf - ws, 8, 0))
+    # row 3's group min is now ~0, pulling its group's base down; every
+    # in-span row still satisfies q - qb <= ws - nb only if the span holds,
+    # so the OTHER rows of group 0 clamp — exercising the clamp path
+    assert (qc != qv).any()
+    syms, scw = cut_symbols_tpu(jnp.asarray(rx), jnp.asarray(qc),
+                                jnp.asarray(qbv), block, S, n_fft,
+                                body_off, sym_len, cp, sc_off, rows, ws,
+                                True)
+    ref_syms_c, ref_scw_c, _ = cut_symbols(
+        jnp.asarray(rx), jnp.asarray(qc * block), S=S, n_fft=n_fft,
+        sym_len=sym_len, cp=cp, body_off=body_off, sc_off=sc_off,
+        block=block)
+    assert np.array_equal(np.asarray(syms), np.asarray(ref_syms_c))
+    assert np.array_equal(np.asarray(scw), np.asarray(ref_scw_c))

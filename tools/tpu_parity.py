@@ -153,7 +153,7 @@ def main() -> int:
           f"pallas_max={int(np.max(np.asarray(itp)))}")
 
     # ---- 4. DMA cut kernels vs XLA fallback, sample-exact
-    from gf3x.ops.pallas.gather_cut import cut_symbols_tpu, gather_cut_group_tpu
+    from gf3x.ops.pallas.gather_cut import gather_cut_group_tpu
     from gf3x.ops.sync import max_cut_start
 
     rng = np.random.default_rng(11)
@@ -171,18 +171,34 @@ def main() -> int:
     check("gather_cut_group", np.array_equal(g, ref), f"B={Bq} nb={nb}")
 
     # the GF3 production geometry (every extraction offset 128-aligned —
-    # the kernel's documented contract; unaligned geometries route to XLA)
+    # the kernel's documented contract; unaligned geometries route to XLA).
+    # Driven through the public wrapper, which on TPU routes to the Pallas
+    # kernel — whole-prefix mode and span-bounded staging mode both.
+    from gf3x.ops.sync import cut_symbols
+
     S, n_fft, cp = 8, 1024, 256
     sym_len = n_fft + cp
     body_off, sc_off = sym_len, cp + cp // 4 + block // 2
-    syms, scw = cut_symbols_tpu(jnp.asarray(rxq), jnp.asarray(q), block, S,
-                                n_fft, body_off, sym_len, cp, sc_off)
-    win = ref
-    bodyref = win[:, body_off: body_off + S * sym_len]
-    sref = bodyref.reshape(Bq, S, sym_len)[..., cp: cp + n_fft]
-    scref = win[:, sc_off: sc_off + n_fft]
-    check("cut_symbols", np.array_equal(np.asarray(syms), sref)
-          and np.array_equal(np.asarray(scw), scref), "")
+    def cut_ref(st):
+        win = np.stack([rxe[i, (st[i] // block) * block:
+                             (st[i] // block) * block + nb * block]
+                        for i in range(Bq)])
+        bodyref = win[:, body_off: body_off + S * sym_len]
+        return (bodyref.reshape(Bq, S, sym_len)[..., cp: cp + n_fft],
+                win[:, sc_off: sc_off + n_fft])
+
+    # narrow-span starts (the bounded-sync production case) + full-range
+    span2 = 4096
+    starts2 = (2048 + (starts % span2)).astype(np.int32)
+    for span, st in ((None, starts), (span2, starts2)):
+        sref, scref = cut_ref(st)
+        syms, scw, _ = cut_symbols(
+            jnp.asarray(rxq), jnp.asarray(st), S=S, n_fft=n_fft,
+            sym_len=sym_len, cp=cp, body_off=body_off, sc_off=sc_off,
+            block=block, max_start_span=span)
+        check(f"cut_symbols:span={span}",
+              np.array_equal(np.asarray(syms), sref)
+              and np.array_equal(np.asarray(scw), scref), "")
 
     # ---- 5. demod DFT precision floor (bf16x3 vs float64 reference)
     from gf3x.config import layout
