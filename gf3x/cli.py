@@ -178,7 +178,8 @@ def cmd_info(args) -> int:
           f"{cfg.n_known_symbols} known + {cfg.n_data_symbols} data symbols "
           f"= {cfg.frame_len} samples ({cfg.frame_len / cfg.fs:.3f}s)")
     if cfg.fec == "ldpc":
-        print(f"FEC              : LDPC (n={cfg.ldpc_n}, k={cfg.ldpc_k}) z={cfg.ldpc_z}, "
+        print(f"FEC              : LDPC rate {cfg.ldpc_rate} "
+              f"(n={cfg.ldpc_n}, k={cfg.ldpc_k}) z={cfg.ldpc_z}, "
               f"{cfg.n_codewords} codewords, {cfg.ldpc_iters} iters")
     else:
         print("FEC              : none")

@@ -28,6 +28,7 @@ __all__ = [
     "GF3_STANDARD",
     "GF3_FAST",
     "GF3_TURBO",
+    "GF3_HICAP",
     "GF3_ROBUST",
     "CONFIG1_LOOPBACK",
     "preset",
@@ -103,6 +104,12 @@ class ModemConfig:
     fec: str = "none"
     ldpc_z: int = 64               # QC-LDPC lifting size (802.16e-style base matrix)
     ldpc_iters: int = 25           # min-sum BP iterations (fixed for static shapes)
+    # code rate of the 24-block-column family: "1/2" | "2/3" | "3/4" | "5/6".
+    # n = 24z at EVERY rate (codeword length, frame layout, and the fused
+    # receive tail's (24, z, lanes) LDPC ingest are rate-invariant); only
+    # k = (24 − m_b)·z changes — higher rates carry more payload per frame
+    # at a higher required SNR (see docs/PERFORMANCE.md waterfalls).
+    ldpc_rate: str = "1/2"
 
     # --- channel-bit block interleaver (WIRE_FORMAT v3): scrambled coded
     #     bits are written into an (R × D) rectangle row-major and read
@@ -193,7 +200,8 @@ class ModemConfig:
 
     @property
     def ldpc_k(self) -> int:
-        return 12 * self.ldpc_z
+        from .fec.codes import block_rows
+        return (24 - block_rows(self.ldpc_rate)) * self.ldpc_z
 
     @property
     def n_codewords(self) -> int:
@@ -228,6 +236,9 @@ class ModemConfig:
         assert self.est_taps <= self.cp, "chanest_taps must be ≤ cp (or −1 = auto)"
         assert self.fec in ("none", "ldpc")
         if self.fec == "ldpc":
+            from .fec.codes import RATES
+            assert self.ldpc_rate in RATES, (
+                f"ldpc_rate {self.ldpc_rate!r} not in {RATES}")
             assert self.n_codewords >= 1, (
                 "frame too small for one LDPC codeword: "
                 f"{self.raw_bits_per_frame} raw bits < n={self.ldpc_n}"
@@ -356,6 +367,12 @@ GF3_FAST = GF3_STANDARD.replace(bits_per_symbol=4)
 # gf3-fast (clean rooms, good speakers).
 GF3_TURBO = GF3_STANDARD.replace(bits_per_symbol=6)
 
+# High-capacity variant: 16-QAM with the rate-3/4 member of the code family —
+# 50 % more payload than gf3-fast from the same air time (1728 B / 0.98 s ≈
+# 14.1 kbit/s) with a smaller SNR step than jumping to 64-QAM; for good
+# rooms where gf3-fast converges in a few LDPC iterations.
+GF3_HICAP = GF3_STANDARD.replace(bits_per_symbol=4, ldpc_rate="3/4")
+
 # Robustness-first variant: denser pilots (spacing 4), longer known preamble,
 # fewer data symbols — for harsh rooms and cheap speakers.
 GF3_ROBUST = ModemConfig(
@@ -376,6 +393,7 @@ _PRESETS = {
     "gf3-standard": GF3_STANDARD,
     "gf3-fast": GF3_FAST,
     "gf3-turbo": GF3_TURBO,
+    "gf3-hicap": GF3_HICAP,
     "gf3-robust": GF3_ROBUST,
 }
 

@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .codes import N_BLOCK_COLS, N_BLOCK_ROWS, build_H_blocks, gf2_solve_parity
+from .codes import N_BLOCK_COLS, block_rows, build_H_blocks, gf2_solve_parity
 
 __all__ = ["LdpcCode"]
 
@@ -40,53 +40,59 @@ _BIG = np.float32(1e30)
 
 @dataclass(frozen=True)
 class _Tables:
-    """Static host-side decoder tables for one lifting factor z."""
+    """Static host-side decoder tables for one (lifting factor z, rate)."""
 
     z: int
+    mb: int                   # parity block rows of the base matrix
     dmax: int                 # max check-node degree over block rows
-    edge_col: np.ndarray      # (12, Dmax) int32 — block column (24 = dummy)
-    edge_shift: np.ndarray    # (12, Dmax) int32
-    edge_valid: np.ndarray    # (12, Dmax) bool
+    edge_col: np.ndarray      # (mb, Dmax) int32 — block column (24 = dummy)
+    edge_shift: np.ndarray    # (mb, Dmax) int32
+    edge_valid: np.ndarray    # (mb, Dmax) bool
     P: np.ndarray             # (m, k) uint8 — GF(2) parity projector
 
 
 @functools.lru_cache(maxsize=None)
-def _tables(z: int) -> _Tables:
-    edges = build_H_blocks(z)
-    by_row: list[list[tuple[int, int]]] = [[] for _ in range(N_BLOCK_ROWS)]
+def _tables(z: int, rate: str) -> _Tables:
+    mb = block_rows(rate)
+    edges = build_H_blocks(z, rate)
+    by_row: list[list[tuple[int, int]]] = [[] for _ in range(mb)]
     for (i, j, s) in edges:
         by_row[i].append((j, s))
     dmax = max(len(r) for r in by_row)
-    col = np.full((N_BLOCK_ROWS, dmax), N_BLOCK_COLS, dtype=np.int32)  # dummy col
-    shf = np.zeros((N_BLOCK_ROWS, dmax), dtype=np.int32)
-    val = np.zeros((N_BLOCK_ROWS, dmax), dtype=bool)
+    col = np.full((mb, dmax), N_BLOCK_COLS, dtype=np.int32)  # dummy col
+    shf = np.zeros((mb, dmax), dtype=np.int32)
+    val = np.zeros((mb, dmax), dtype=bool)
     for i, r in enumerate(by_row):
         for d, (j, s) in enumerate(r):
             col[i, d], shf[i, d], val[i, d] = j, s, True
     return _Tables(
-        z=z, dmax=dmax, edge_col=col, edge_shift=shf, edge_valid=val,
-        P=gf2_solve_parity(z),
+        z=z, mb=mb, dmax=dmax, edge_col=col, edge_shift=shf, edge_valid=val,
+        P=gf2_solve_parity(z, rate),
     )
 
 
 class LdpcCode:
-    """Rate-1/2 QC-LDPC (n = 24z, k = 12z), 802.16e-style base matrix."""
+    """QC-LDPC over the 24-block-column 802.16e-style family: n = 24z at
+    every rate, k = (24 − m_b)·z with m_b block rows of parity (rate ∈
+    `gf3x.fec.codes.RATES`: 1/2, 2/3, 3/4, 5/6)."""
 
-    def __init__(self, z: int):
+    def __init__(self, z: int, rate: str = "1/2"):
         self.z = z
+        self.rate = rate
+        self.mb = block_rows(rate)
         self.n = N_BLOCK_COLS * z
-        self.k = N_BLOCK_ROWS * z
-        self.m = self.n - self.k
-        self.t = _tables(z)
+        self.m = self.mb * z
+        self.k = self.n - self.m
+        self.t = _tables(z, rate)
 
     @classmethod
     @functools.lru_cache(maxsize=None)
-    def _cached(cls, z: int) -> "LdpcCode":
-        return cls(z)
+    def _cached(cls, z: int, rate: str) -> "LdpcCode":
+        return cls(z, rate)
 
     @classmethod
     def for_config(cls, cfg) -> "LdpcCode":
-        return cls._cached(cfg.ldpc_z)
+        return cls._cached(cfg.ldpc_z, getattr(cfg, "ldpc_rate", "1/2"))
 
     # ------------------------------------------------------------ host numpy
     def encode(self, u: np.ndarray) -> np.ndarray:
@@ -98,7 +104,7 @@ class LdpcCode:
     def check(self, c: np.ndarray) -> np.ndarray:
         """Syndrome weight per codeword (0 ⇒ valid)."""
         from .codes import _dense_H
-        H = _dense_H(self.z)
+        H = _dense_H(self.z, self.rate)
         return ((c.astype(np.int64) @ H.T.astype(np.int64)) & 1).sum(axis=-1)
 
     def decode(self, llr: np.ndarray, iters: int = 25,
@@ -134,7 +140,7 @@ class LdpcCode:
         t, z = self.t, self.z
         hard = totals[:, :N_BLOCK_COLS] < 0                       # (B, 24, z)
         unsat = np.zeros(totals.shape[0], dtype=bool)
-        for i in range(N_BLOCK_ROWS):
+        for i in range(self.mb):
             par = np.zeros((totals.shape[0], z), dtype=bool)
             for d in range(t.dmax):
                 if not t.edge_valid[i, d]:
@@ -161,7 +167,7 @@ class LdpcCode:
         B = lam.shape[0]
         lam_b = lam.reshape(B, N_BLOCK_COLS, z)
         totals = np.concatenate([lam_b, np.zeros((B, 1, z))], axis=1)  # +dummy
-        c2v = np.zeros((N_BLOCK_ROWS, t.dmax, B, z))
+        c2v = np.zeros((self.mb, t.dmax, B, z))
 
         it_run = 0
         frozen = np.zeros(B, dtype=bool)
@@ -171,7 +177,7 @@ class LdpcCode:
                 if frozen.all():
                     break
             upd = ~frozen
-            for i in range(N_BLOCK_ROWS):
+            for i in range(self.mb):
                 d = int(np.sum(t.edge_valid[i]))
                 cols = t.edge_col[i, :d]
                 shfs = t.edge_shift[i, :d]
@@ -248,7 +254,8 @@ class LdpcCode:
                 # satisfy every check, so they freeze immediately and cannot
                 # stall the shared early-exit loop
                 lam_t = jnp.pad(lam_t, ((0, 0), (0, 0), (0, Bp - B)))
-            tot, diag = minsum_totals_tpu(lam_t, z, iters, early_exit)
+            tot, diag = minsum_totals_tpu(lam_t, z, iters, early_exit,
+                                          rate=self.rate)
             total = tot[..., :B].transpose(2, 0, 1).reshape(B, self.n)
             bits = (total < 0).astype(jnp.uint8)[:, : self.k].reshape(*lead, self.k)
             if not with_diag:
@@ -283,7 +290,8 @@ class LdpcCode:
             use_pallas = computation_on_tpu()
         if use_pallas:
             from ..ops.pallas.ldpc_bp import minsum_totals_tpu
-            tot, diag = minsum_totals_tpu(lam_t, z, iters, early_exit)
+            tot, diag = minsum_totals_tpu(lam_t, self.z, iters, early_exit,
+                                          rate=self.rate)
             return tot, diag[1].astype(jnp.int32), diag[0] > 0.5
         lam_b = lam_t.transpose(2, 0, 1)                              # (L, 24, z)
         tot, it_run, unsat = self._minsum_xla(lam_b, iters, early_exit)
@@ -295,8 +303,8 @@ class LdpcCode:
         (totals (B, 24, z), passes run (scalar int32), unsat (B,) bool)."""
         z = self.z
         B = lam_b.shape[0]
-        edges = build_H_blocks(z)                                     # row-major
-        rows: list[list[tuple[int, int, int]]] = [[] for _ in range(N_BLOCK_ROWS)]
+        edges = build_H_blocks(z, self.rate)                          # row-major
+        rows: list[list[tuple[int, int, int]]] = [[] for _ in range(self.mb)]
         for e, (i, j, s) in enumerate(edges):
             rows[i].append((e, j, s))
         E = len(edges)
@@ -308,7 +316,7 @@ class LdpcCode:
             keep messages AND totals. tot: (B, 24, z), c2v: (E, B, z)."""
             upd = None if frozen is None else \
                 jnp.logical_not(frozen)[:, None].astype(jnp.float32)
-            for i in range(N_BLOCK_ROWS):
+            for i in range(self.mb):
                 v2c = jnp.stack(
                     [jnp.roll(tot[:, j], -s, axis=-1) - c2v[e]
                      for (e, j, s) in rows[i]], axis=0)               # (d, B, z)
@@ -335,7 +343,7 @@ class LdpcCode:
             """(B, 24, z) totals → (B,) bool: any parity check violated."""
             hard = tot < 0
             unsat = jnp.zeros(B, dtype=bool)
-            for i in range(N_BLOCK_ROWS):
+            for i in range(self.mb):
                 par = jnp.zeros((B, z), dtype=bool)
                 for (_, j, s) in rows[i]:
                     par = par ^ jnp.roll(hard[:, j], -s, axis=-1)

@@ -444,8 +444,9 @@ class Modem:
                        .transpose(1, 2, 0, 3).reshape(24, z, ncw * Bp))
                 tot, it_lane, unsat_lane = self._code.decode_lanes(
                     lam, cfg.ldpc_iters)
-                info = (tot[:12] < 0).astype(jnp.uint8)    # (12, z, ncw·Bp)
-                bits = (info.reshape(12, z, ncw, Bp)[..., :B]
+                kb = 24 - self._code.mb                    # info block cols
+                info = (tot[:kb] < 0).astype(jnp.uint8)    # (kb, z, ncw·Bp)
+                bits = (info.reshape(kb, z, ncw, Bp)[..., :B]
                         .transpose(3, 2, 0, 1)
                         .reshape(*lead, cfg.payload_bits_per_frame))
                 iters = jnp.max(it_lane.reshape(ncw, Bp)[:, :B], axis=0)

@@ -54,16 +54,17 @@ class NativeLdpc:
     normalized min-sum schedule in float32.
     """
 
-    def __init__(self, z: int, alpha: float = 0.8):
-        from ..fec.codes import build_H_blocks, gf2_solve_parity
+    def __init__(self, z: int, alpha: float = 0.8, rate: str = "1/2"):
+        from ..fec.codes import block_rows, build_H_blocks, gf2_solve_parity
 
-        self.z, self.alpha = z, alpha
-        self.k = 12 * z
-        self.m = 12 * z
+        self.z, self.alpha, self.rate = z, alpha, rate
+        self.m = block_rows(rate) * z
         self.n = 24 * z
-        self._P = np.ascontiguousarray(gf2_solve_parity(z), dtype=np.uint8)
+        self.k = self.n - self.m
+        self._P = np.ascontiguousarray(gf2_solve_parity(z, rate),
+                                       dtype=np.uint8)
         chk, var = [], []
-        for (i, j, s) in build_H_blocks(z):           # row-major, same order
+        for (i, j, s) in build_H_blocks(z, rate):     # row-major, same order
             for c in range(z):                        # as the JAX decoder
                 chk.append(i * z + c)
                 var.append(j * z + (c + s) % z)

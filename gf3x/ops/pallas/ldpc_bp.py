@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...fec.codes import N_BLOCK_COLS, N_BLOCK_ROWS, build_H_blocks
+from ...fec.codes import N_BLOCK_COLS, block_rows, build_H_blocks
 
 __all__ = ["minsum_totals_tpu", "LANES"]
 
@@ -51,6 +51,7 @@ _BIG = np.float32(1e30)
 def _kernel(lam_ref, out_ref, diag_ref, c2v_ref, tot_ref, *, z: int,
             iters: int, edges, rows, by_col, early_exit: bool):
     E = len(edges)
+    MB = len(rows)
 
     def negroll(x, s):
         # variable order → check order: y[c] = x[(c + s) mod z]
@@ -71,7 +72,7 @@ def _kernel(lam_ref, out_ref, diag_ref, c2v_ref, tot_ref, *, z: int,
         the flooding schedule, same rolls per edge (one for v2c, one for
         the totals update). `frozen` ((1, LANES) bool or None) lanes keep
         messages AND totals."""
-        for i in range(N_BLOCK_ROWS):
+        for i in range(MB):
             row = rows[i]
             # v2c in check order from the CURRENT totals
             v2c = [negroll(tot_ref[j], s) - c2v_ref[e] for (e, j, s) in row]
@@ -105,7 +106,7 @@ def _kernel(lam_ref, out_ref, diag_ref, c2v_ref, tot_ref, *, z: int,
         """(1, LANES) bool: any parity check of the current totals' hard
         decisions violated, per lane."""
         unsat = None
-        for i in range(N_BLOCK_ROWS):
+        for i in range(MB):
             par = None
             for (e, j, s) in rows[i]:
                 h = negroll(tot_ref[j], s) < 0.0
@@ -153,9 +154,10 @@ def _kernel(lam_ref, out_ref, diag_ref, c2v_ref, tot_ref, *, z: int,
     diag_ref[1:2] = jnp.full((1, lanes), 1.0) * it_run.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def minsum_totals_tpu(lam_t: jnp.ndarray, z: int, iters: int,
-                      early_exit: bool = True, interpret: bool = False):
+                      early_exit: bool = True, interpret: bool = False,
+                      rate: str = "1/2"):
     """lam_t: (24, z, B) f32 LLRs (B % 128 == 0) → (totals (24, z, B),
     diag (8, B): row 0 = unsat flag per lane, row 1 = passes run by the
     lane's 128-lane grid block).
@@ -166,8 +168,8 @@ def minsum_totals_tpu(lam_t: jnp.ndarray, z: int, iters: int,
     """
     _, _, B = lam_t.shape
     assert B % LANES == 0, B
-    edges = build_H_blocks(z)
-    rows = [[] for _ in range(N_BLOCK_ROWS)]
+    edges = build_H_blocks(z, rate)
+    rows = [[] for _ in range(block_rows(rate))]
     by_col = [[] for _ in range(N_BLOCK_COLS)]
     for e, (i, j, s) in enumerate(edges):
         rows[i].append((e, j, s))

@@ -12,6 +12,7 @@ from gf3x.models.stream import frame_capacity
     ("loopback", 30.0, 0.012),   # uncoded: needs clean margins
     ("gf3", 18.0, 0.02),
     ("gf3-fast", 26.0, 0.02),    # 16-QAM needs ~6 dB more than QPSK
+    ("gf3-hicap", 28.0, 0.02),   # 16-QAM + rate-3/4 code: ~2 dB over gf3-fast
     ("gf3-robust", 16.0, 0.02),
 ])
 def test_preset_roundtrip(name, snr_db, rt60):
@@ -30,6 +31,7 @@ def test_preset_roundtrip(name, snr_db, rt60):
 def test_preset_capacities():
     assert frame_capacity(Modem(preset("gf3"))) == 560
     assert frame_capacity(Modem(preset("gf3-fast"))) == 1136
+    assert frame_capacity(Modem(preset("gf3-hicap"))) == 1712
     assert frame_capacity(Modem(preset("gf3-robust"))) == 272
 
 
