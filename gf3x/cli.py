@@ -4,6 +4,7 @@ receive.py / sweep scripts).
     python -m gf3x.cli transmit FILE -o tx.wav [--preset gf3] [--play]
     python -m gf3x.cli receive rx.wav [-o DIR] [--preset gf3] [--json]
     python -m gf3x.cli sweep --snrs 0 2 4 6 8 [--preset gf3] [--trials 16]
+    python -m gf3x.cli adapt probe.wav -o table.json [--margin 2]
     python -m gf3x.cli info [--preset gf3]
     python -m gf3x.cli bench
 """
@@ -29,7 +30,8 @@ def _select_device(args) -> None:
     """
     dev = args.device
     if dev == "auto":
-        dev = "cpu" if args.cmd in ("transmit", "receive", "retransmit", "info") else "tpu"
+        dev = "cpu" if args.cmd in ("transmit", "receive", "retransmit",
+                                    "info", "adapt") else "tpu"
     if dev == "cpu":
         import jax
 
@@ -44,6 +46,11 @@ def _modem(args):
     cfg = preset(args.preset)
     if args.qam:
         cfg = cfg.replace(bits_per_symbol={4: 2, 16: 4, 64: 6}[args.qam])
+    if getattr(args, "loading", None):
+        table = json.loads(Path(args.loading).read_text())
+        if isinstance(table, dict):
+            table = table["bit_loading"]
+        cfg = cfg.replace(bit_loading=tuple(int(b) for b in table))
     return Modem(cfg)
 
 
@@ -173,7 +180,15 @@ def cmd_info(args) -> int:
           f"({cfg.n_used} = {cfg.n_pilots} pilots + {cfg.n_data_bins} data)")
     print(f"band             : {cfg.bin_lo * cfg.fs / cfg.n_fft:.0f}"
           f"-{cfg.bin_hi * cfg.fs / cfg.n_fft:.0f} Hz")
-    print(f"constellation    : {2 ** cfg.bits_per_symbol}-QAM")
+    if cfg.bit_loading is not None:
+        counts = {m: sum(1 for b in cfg.bit_loading if b == m)
+                  for m in (0, 2, 4, 6)}
+        print(f"constellation    : per-bin loading "
+              f"({cfg.bits_per_ofdm_symbol} bits/sym: "
+              f"{counts[0]} null / {counts[2]} QPSK / "
+              f"{counts[4]} 16-QAM / {counts[6]} 64-QAM bins)")
+    else:
+        print(f"constellation    : {2 ** cfg.bits_per_symbol}-QAM")
     print(f"frame            : chirp {cfg.chirp_len} + SC {cfg.sc_len} + "
           f"{cfg.n_known_symbols} known + {cfg.n_data_symbols} data symbols "
           f"= {cfg.frame_len} samples ({cfg.frame_len / cfg.fs:.3f}s)")
@@ -187,6 +202,62 @@ def cmd_info(args) -> int:
     print(f"payload capacity : {frame_capacity(modem)} bytes/frame "
           f"({cfg.payload_bits_per_frame / dur:.0f} bit/s = "
           f"{cfg.payload_bits_per_frame / 8 / dur:.0f} B/s raw)")
+    return 0
+
+
+def cmd_adapt(args) -> int:
+    """Probe a recorded transmission → preset recommendation + optional
+    per-bin bit-loading table (link adaptation, gf3x.ops.adapt)."""
+    from .io import read_wav
+    from .ops.adapt import (bit_loading_from_probe, data_bin_snr_db,
+                            effective_snr_db, recommend_preset)
+
+    modem = _modem(args)
+    rx, _ = read_wav(args.wav, expect_fs=modem.cfg.fs if args.strict_fs else None)
+    res = modem.decode(rx)
+    if res.diag is None or not np.isfinite(float(np.max(res.diag.sync_metric))):
+        print("no frame synchronized in the probe recording", file=sys.stderr)
+        return 2
+    diag = res.diag
+    name, report = recommend_preset(diag, modem.cfg, margin_db=args.margin)
+    out = {
+        "probe_preset": args.preset,
+        "probe_crc_ok": bool(res.crc_ok),
+        "effective_snr_db": report["effective_snr_db"],
+        "recommended_preset": name,
+        "recommendation": report,
+    }
+    try:
+        table = bit_loading_from_probe(diag, modem.cfg,
+                                       margin_db=args.margin)
+        snr = data_bin_snr_db(diag, modem.cfg)
+        out["bit_loading"] = list(table)
+        out["loading_summary"] = {
+            "bits_per_symbol_total": int(sum(table)),
+            "bins_by_order": {str(m): int(sum(1 for b in table if b == m))
+                              for m in (0, 2, 4, 6)},
+            "min_bin_snr_db": round(float(snr.min()), 1),
+            "max_bin_snr_db": round(float(snr.max()), 1),
+        }
+    except ValueError as e:
+        out["bit_loading_error"] = str(e)
+    if args.output:
+        Path(args.output).write_text(json.dumps(out, indent=1))
+        print(f"wrote {args.output}")
+    if args.json:
+        print(json.dumps(out))
+    else:
+        print(f"effective SNR    : {out['effective_snr_db']} dB "
+              f"(probe crc_ok={res.crc_ok})")
+        print(f"recommended      : {name} "
+              f"({report['net_kbps']} kbit/s, needs "
+              f"{report['required_snr_db']}+{args.margin} dB)")
+        if "bit_loading" in out:
+            s = out["loading_summary"]
+            print(f"bit-loading      : {s['bits_per_symbol_total']} bits/sym "
+                  f"over {modem.cfg.n_data_bins} bins {s['bins_by_order']}")
+            print("use via          : gf3x --loading TABLE.json transmit/receive"
+                  " (write with -o)")
     return 0
 
 
@@ -205,6 +276,9 @@ def main(argv=None) -> int:
                          "gf3-robust | loopback)")
     ap.add_argument("--qam", type=int, choices=[4, 16, 64], default=None,
                     help="override constellation order")
+    ap.add_argument("--loading", default=None,
+                    help="per-bin bit-loading table JSON (from `gf3x adapt "
+                         "-o`); both ends must use the same table")
     ap.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
                     help="auto = CPU for latency-bound transmit/receive, "
                          "TPU for throughput-bound sweep/bench")
@@ -247,6 +321,16 @@ def main(argv=None) -> int:
     s.add_argument("--json", action="store_true")
     s.add_argument("--plot", help="save BER curve PNG")
     s.set_defaults(fn=cmd_sweep)
+
+    a = sub.add_parser("adapt", help="probe WAV -> preset recommendation + "
+                                     "per-bin bit-loading table")
+    a.add_argument("wav")
+    a.add_argument("-o", "--output", help="write the table JSON here")
+    a.add_argument("--margin", type=float, default=2.0,
+                   help="SNR margin (dB) over the measured operating points")
+    a.add_argument("--strict-fs", action="store_true")
+    a.add_argument("--json", action="store_true")
+    a.set_defaults(fn=cmd_adapt)
 
     i = sub.add_parser("info", help="print frame geometry / capacity")
     i.set_defaults(fn=cmd_info)

@@ -111,6 +111,18 @@ class ModemConfig:
     # at a higher required SNR (see docs/PERFORMANCE.md waterfalls).
     ldpc_rate: str = "1/2"
 
+    # --- per-bin adaptive bit-loading (link adaptation, SPEC.md §5b): an
+    #     optional per-DATA-BIN constellation table (entries 0/2/4/6 bits;
+    #     length n_data_bins). None = uniform `bits_per_symbol` on every
+    #     data bin. A table is agreed OUT-OF-BAND (like the preset itself)
+    #     — typically computed from a probe decode's channel estimate by
+    #     `gf3x.ops.adapt.bit_loading_from_probe` (`gf3x adapt` CLI) so
+    #     notched/rolled-off bins carry fewer (or zero) bits and clean bins
+    #     carry more. TX power of nulled bins is reallocated uniformly to
+    #     the active data bins (total symbol power is loading-invariant).
+    #     Static per config → every shape stays compile-time constant.
+    bit_loading: "tuple[int, ...] | None" = None
+
     # --- channel-bit block interleaver (WIRE_FORMAT v3): scrambled coded
     #     bits are written into an (R × D) rectangle row-major and read
     #     column-major (R = bits per OFDM symbol, D = data symbols), so
@@ -186,7 +198,16 @@ class ModemConfig:
         return self.preamble_len + (self.n_known_symbols + self.n_data_symbols) * self.symbol_len
 
     @property
+    def n_active_bins(self) -> int:
+        """Data bins that actually carry bits (= n_data_bins when uniform)."""
+        if self.bit_loading is None:
+            return self.n_data_bins
+        return sum(1 for b in self.bit_loading if b > 0)
+
+    @property
     def bits_per_ofdm_symbol(self) -> int:
+        if self.bit_loading is not None:
+            return sum(self.bit_loading)
         return self.n_data_bins * self.bits_per_symbol
 
     @property
@@ -234,6 +255,16 @@ class ModemConfig:
         assert 1 <= self.bin_lo <= self.bin_hi <= self.n_fft // 2 - 1
         assert self.bits_per_symbol in (2, 4, 6)
         assert self.est_taps <= self.cp, "chanest_taps must be ≤ cp (or −1 = auto)"
+        if self.bit_loading is not None:
+            assert isinstance(self.bit_loading, tuple), (
+                "bit_loading must be a tuple (hashable jit-static config)")
+            assert len(self.bit_loading) == self.n_data_bins, (
+                f"bit_loading has {len(self.bit_loading)} entries; "
+                f"config has {self.n_data_bins} data bins")
+            assert all(b in (0, 2, 4, 6) for b in self.bit_loading), (
+                "bit_loading entries must be 0, 2, 4, or 6 bits")
+            assert self.bits_per_ofdm_symbol > 0, (
+                "bit_loading nulls every data bin")
         assert self.fec in ("none", "ldpc")
         if self.fec == "ldpc":
             from .fec.codes import RATES

@@ -324,8 +324,23 @@ class GoldenModem:
         """Coded channel bits → (K+D, n_used) bin matrix (known ∥ data)."""
         c, lay = self.cfg, self.lay
         assert coded_bits.size == c.raw_bits_per_frame
-        grp = coded_bits.reshape(c.n_data_symbols, c.n_data_bins, c.bits_per_symbol)
-        dsym = qam_map(grp, c.bits_per_symbol)                        # (D, n_data_bins)
+        if c.bit_loading is not None:
+            # per-bin loading twin (SPEC.md §5b group-sorted wire order):
+            # per-group Gray map, one static permutation, nulled bins 0,
+            # active bins boosted by `gain`
+            from ..models.frame import loading_tables
+            t = loading_tables(c)
+            rows = coded_bits.reshape(c.n_data_symbols, c.bits_per_ofdm_symbol)
+            dsym = np.zeros((c.n_data_symbols, c.n_data_bins), np.complex128)
+            off = 0
+            for m, pos in t.groups:
+                n = len(pos)
+                grp = rows[:, off: off + n * m].reshape(c.n_data_symbols, n, m)
+                dsym[:, pos] = qam_map(grp, m) * t.gain
+                off += n * m
+        else:
+            grp = coded_bits.reshape(c.n_data_symbols, c.n_data_bins, c.bits_per_symbol)
+            dsym = qam_map(grp, c.bits_per_symbol)                    # (D, n_data_bins)
         data = np.zeros((c.n_data_symbols, c.n_used), dtype=np.complex128)
         data[:, lay.data_pos] = dsym
         data[:, lay.pilot_pos] = lay.pilot_vals[None, :]
@@ -407,11 +422,26 @@ class GoldenModem:
         data = eq[:, self.lay.data_pos]
         inv_csi = 1.0 / np.maximum(csi[self.lay.data_pos], 1e-12)
         nv = nv_sym[:, None] * inv_csi[None, :]
-        llr3 = qam_demap_llr(data, np.broadcast_to(nv, data.shape),
-                             c.bits_per_symbol)             # (D, n_data_bins, bps)
-        hard = (llr3 < 0).astype(np.uint8)
-        evm = float(np.mean(np.abs(data - qam_map(hard, c.bits_per_symbol)) ** 2))
-        llr = llr3.reshape(-1)
+        if c.bit_loading is not None:
+            # per-group demap twin of models.frame.loaded_demap_llr
+            from ..models.frame import loading_tables
+            t = loading_tables(c)
+            parts, err = [], 0.0
+            for m, pos in t.groups:
+                y = data[:, pos] / t.gain
+                l3 = qam_demap_llr(
+                    y, np.broadcast_to(nv[:, pos] / t.gain**2, y.shape), m)
+                parts.append(l3.reshape(c.n_data_symbols, len(pos) * m))
+                err += float(np.sum(
+                    np.abs(y - qam_map((l3 < 0).astype(np.uint8), m)) ** 2))
+            evm = err / (c.n_data_symbols * c.n_active_bins)
+            llr = np.concatenate(parts, axis=1).reshape(-1)
+        else:
+            llr3 = qam_demap_llr(data, np.broadcast_to(nv, data.shape),
+                                 c.bits_per_symbol)         # (D, n_data_bins, bps)
+            hard = (llr3 < 0).astype(np.uint8)
+            evm = float(np.mean(np.abs(data - qam_map(hard, c.bits_per_symbol)) ** 2))
+            llr = llr3.reshape(-1)
         diag = {
             "H": H, "noise_var": noise_var, "pilot_slope": slope,
             "common_phase": cpe, "evm": evm,

@@ -9,6 +9,10 @@ decode paths. All geometry is static from `ModemConfig` (BASELINE.json:10
 
 from __future__ import annotations
 
+import functools
+from dataclasses import dataclass
+
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import ModemConfig, layout
@@ -21,7 +25,85 @@ __all__ = [
     "split_pilots",
     "interleave_bits",
     "scatter_factors",
+    "loading_tables",
+    "loaded_qam_map",
+    "loaded_demap_llr",
 ]
+
+
+@dataclass(frozen=True)
+class LoadingTables:
+    """Host-side static tables of a per-bin bit-loading config (SPEC.md §5b).
+
+    Wire order is GROUP-SORTED: each OFDM symbol's coded bits fill the
+    loaded data bins in ascending constellation order (all QPSK bins, then
+    all 16-QAM, then all 64-QAM bins), each group in ascending bin index,
+    each bin MSB-first I-axis then Q-axis bits — so the map/demap is a few
+    static reshapes per group plus ONE static permutation, never a per-bin
+    loop (TPU-first: all shapes compile-time constant from the config)."""
+
+    groups: tuple          # ((m, positions int32 ascending), ...) ascending m>0
+    inv_perm: np.ndarray   # (n_data_bins,) int32 into concat(group syms)+[0]
+    gain: float            # sqrt(n_data_bins / n_active): nulled bins' TX
+                           # power reallocated uniformly to active data bins
+
+
+@functools.lru_cache(maxsize=None)
+def loading_tables(cfg: ModemConfig) -> LoadingTables:
+    bits = np.asarray(cfg.bit_loading, dtype=np.int32)
+    groups = tuple(
+        (m, np.nonzero(bits == m)[0].astype(np.int32))
+        for m in (2, 4, 6) if np.any(bits == m)
+    )
+    active = np.concatenate([pos for _, pos in groups])
+    inv = np.full(cfg.n_data_bins, len(active), dtype=np.int32)  # → zero slot
+    inv[active] = np.arange(len(active), dtype=np.int32)
+    return LoadingTables(
+        groups=groups, inv_perm=inv,
+        gain=float(np.sqrt(cfg.n_data_bins / len(active))),
+    )
+
+
+def loaded_qam_map(cfg: ModemConfig, coded: jnp.ndarray) -> jnp.ndarray:
+    """Group-sorted coded bits (..., D, R) → data-bin symbols
+    (..., D, n_data_bins) complex64, zeros on nulled bins, active bins
+    boosted by `gain` (total symbol power is loading-invariant)."""
+    from ..ops.constellation import qam_map
+
+    t = loading_tables(cfg)
+    *lead, D, _ = coded.shape
+    syms, off = [], 0
+    for m, pos in t.groups:
+        n = len(pos)
+        grp = coded[..., off: off + n * m].reshape(*lead, D, n, m)
+        syms.append(qam_map(grp, m))
+        off += n * m
+    cat = jnp.concatenate(
+        syms + [jnp.zeros((*lead, D, 1), syms[0].dtype)], axis=-1)
+    return jnp.take(cat, jnp.asarray(t.inv_perm), axis=-1) * t.gain
+
+
+def loaded_demap_llr(cfg: ModemConfig, data: jnp.ndarray,
+                     nv_eff: jnp.ndarray):
+    """Equalized data bins (..., D, n_data_bins) + per-bin noise → group-
+    sorted LLRs (..., D, R) and EVM (...,) over the active bins (the RX
+    inverse of `loaded_qam_map`; nulled bins contribute nothing)."""
+    from ..ops.constellation import hard_bits, qam_demap_llr, qam_map
+
+    t = loading_tables(cfg)
+    *lead, D, _ = data.shape
+    llrs, err = [], 0.0
+    for m, pos in t.groups:
+        idx = jnp.asarray(pos)
+        y = jnp.take(data, idx, axis=-1) * jnp.float32(1.0 / t.gain)
+        nv = jnp.take(jnp.broadcast_to(nv_eff, data.shape), idx, axis=-1)
+        nv = nv * jnp.float32(1.0 / t.gain**2)
+        l3 = qam_demap_llr(y, nv, m)                     # (..., D, n_g, m)
+        llrs.append(l3.reshape(*lead, D, len(pos) * m))
+        err = err + jnp.sum(
+            jnp.abs(y - qam_map(hard_bits(l3), m)) ** 2, axis=(-2, -1))
+    evm = err / jnp.float32(D * cfg.n_active_bins)
+    return jnp.concatenate(llrs, axis=-1), evm
 
 
 def scatter_factors(R: int) -> tuple[int, int]:
@@ -110,6 +192,10 @@ def data_symbols_from_bits(cfg: ModemConfig, coded_bits: jnp.ndarray) -> jnp.nda
     from ..ops.constellation import qam_map
 
     *lead, _ = coded_bits.shape
+    if cfg.bit_loading is not None:
+        grp = coded_bits.reshape(
+            *lead, cfg.n_data_symbols, cfg.bits_per_ofdm_symbol)
+        return interleave_pilots(cfg, loaded_qam_map(cfg, grp))
     grp = coded_bits.reshape(*lead, cfg.n_data_symbols, cfg.n_data_bins, cfg.bits_per_symbol)
     dsym = qam_map(grp, cfg.bits_per_symbol)
     return interleave_pilots(cfg, dsym)

@@ -530,12 +530,19 @@ class Modem:
             from ..utils.device import computation_on_tpu
             B = int(np.prod(lead)) if lead else 1
             use_pallas = (computation_on_tpu() and cfg.strided_pilots
+                          and cfg.bit_loading is None
                           and fused_shapes_ok(cfg, B))
         if use_pallas:
             Y = self._deroll(ofdm_dft(cfg, syms, delta), roll)
             H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :], delta)
             return self._fused_eq_demap(Y, H, noise_var, lead)
         data, nv_eff, (H, noise_var, slope, cpe) = self._eq_syms(syms, delta, roll)
+        if cfg.bit_loading is not None:
+            from .frame import loaded_demap_llr
+            llr2, evm = loaded_demap_llr(cfg, data, nv_eff)   # (..., D, R)
+            llr = llr2.reshape(*lead, cfg.raw_bits_per_frame)
+            mabs = jnp.mean(jnp.abs(llr), axis=-1)
+            return llr, (H, noise_var, slope, cpe, evm, mabs)
         llr3 = qam_demap_llr(
             data, jnp.broadcast_to(nv_eff, data.shape), cfg.bits_per_symbol
         )

@@ -1,0 +1,152 @@
+"""Link adaptation (gf3x.ops.adapt + ModemConfig.bit_loading, SPEC.md §5b).
+
+Covers: loaded map/demap round-trip bit-parity across the twins, probe →
+loading-table structure on a shaped channel (rolloff + notchy ripple), the
+capacity-equivalent effective SNR, preset recommendation monotonicity, and
+the adapt → transmit --loading → receive --loading CLI loop.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from gf3x import GoldenModem, Modem, ModemConfig
+from gf3x.channel import awgn, delay_gain, multipath, speaker_mic_fir
+from gf3x.config import layout, preset
+from gf3x.ops.adapt import (
+    PRESET_REQUIRED_SNR_DB,
+    bit_loading_from_probe,
+    data_bin_snr_db,
+    effective_snr_db,
+    recommend_preset,
+)
+
+
+def _flat_diag(cfg, snr_db):
+    """Synthetic single-frame diag: flat |H|=1, noise set for `snr_db`."""
+    H = np.ones(cfg.n_used, dtype=np.complex64)
+    return {"H": H, "noise_var": 10.0 ** (-snr_db / 10.0)}
+
+
+def test_loaded_loopback_parity_jax_golden():
+    rng = np.random.default_rng(2)
+    base = ModemConfig(fec="none")
+    table = tuple(int(x) for x in rng.choice(
+        [0, 2, 4, 6], size=base.n_data_bins, p=[0.15, 0.4, 0.3, 0.15]))
+    cfg = base.replace(bit_loading=table)
+    assert cfg.bits_per_ofdm_symbol == sum(table)
+    g, m = GoldenModem(cfg), Modem(cfg)
+    payload = bytes(rng.integers(0, 256, 200, dtype=np.uint8))
+    wav = g.encode(payload, "t")
+    # TX twins agree on the waveform
+    assert np.abs(wav - m.encode(payload, "t")).max() < 1e-5
+    rg = g.decode(wav, start=0)
+    rj = m.decode(wav.astype(np.float32), start=0)
+    assert rg.crc_ok and rg.payload == payload
+    assert rj.crc_ok and rj.payload == payload
+    assert np.array_equal(rg.bits, rj.bits)
+    # power invariance: loaded symbols carry the same RMS as uniform ones
+    w0 = GoldenModem(base).encode(payload, "t")
+    a = base.preamble_len
+    assert np.std(wav[a:]) == pytest.approx(np.std(w0[a:]), rel=0.02)
+
+
+def test_probe_loading_on_shaped_channel():
+    """A harsh speaker rolloff (8 kHz cut against a 13 kHz band) must drive
+    the upper bins to fewer/zero bits, keep the clean midband loaded, and
+    the resulting config must round-trip through that same channel."""
+    rng = np.random.default_rng(7)
+    cfg = preset("gf3")  # QPSK rate-1/2 probe
+    fir = speaker_mic_fir(highcut=8000.0, ripple_db=4.0, rng=rng)
+    g = GoldenModem(cfg)
+    probe = g.encode(b"probe", "p")
+    rx = awgn(delay_gain(multipath(probe, fir), 500, 0.8,
+                         total_len=probe.size + 4000), 24.0, rng)
+    res = g.decode(rx)
+    assert res.crc_ok
+    snr = data_bin_snr_db(res.diag, cfg)
+    table = np.asarray(bit_loading_from_probe(res.diag, cfg, margin_db=1.0))
+    # structure: the rolled-off top of the band carries less than the midband
+    lay = layout(cfg)
+    f = (cfg.bin_lo + lay.data_pos) * cfg.fs / cfg.n_fft
+    top, mid = table[f > 11000], table[(f > 2000) & (f < 7000)]
+    assert top.mean() < mid.mean()
+    assert mid.mean() >= 2.0  # the clean midband stays loaded
+    # the loaded config (agreed out-of-band) round-trips through the SAME
+    # channel at the SAME SNR on the coded preset
+    lcfg = cfg.replace(bit_loading=tuple(int(b) for b in table))
+    gl = GoldenModem(lcfg)
+    payload = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    wav = gl.encode(payload, "f")
+    rx2 = awgn(delay_gain(multipath(wav, fir), 500, 0.8,
+                          total_len=wav.size + 4000), 24.0, rng)
+    out = gl.decode(rx2)
+    assert out.crc_ok and out.payload == payload
+    # and it carries more than the probe preset's QPSK would
+    assert lcfg.bits_per_ofdm_symbol > cfg.bits_per_ofdm_symbol
+    assert np.isfinite(snr).all()
+
+
+def test_effective_snr_penalizes_notches():
+    cfg = preset("gf3")
+    flat = _flat_diag(cfg, 15.0)
+    eff_flat = effective_snr_db(flat, cfg)
+    assert eff_flat == pytest.approx(15.0, abs=0.3)
+    # same MEAN power, half the bins notched 30 dB down: capacity-equivalent
+    # SNR must drop far below the 3 dB a plain power mean would lose
+    H = np.ones(cfg.n_used, dtype=np.complex64)
+    H[::2] *= 10.0 ** (-30.0 / 20.0)
+    notched = {"H": H * np.sqrt(2.0 / (1.0 + 1e-3)),
+               "noise_var": 10.0 ** (-1.5)}
+    assert effective_snr_db(notched, cfg) < eff_flat - 4.5
+
+
+def test_recommend_monotone_in_snr():
+    cfg = preset("gf3")
+    picks = [recommend_preset(_flat_diag(cfg, s), cfg)[0]
+             for s in (0.0, 5.0, 11.0, 20.0)]
+    caps = [preset(p).payload_bits_per_frame for p in picks]
+    assert picks[0] == "gf3-robust"          # nothing clears at 0 dB
+    assert picks[1] == "gf3"                 # QPSK clears, 16-QAM doesn't
+    assert caps == sorted(caps)              # throughput never decreases
+    # at 20 dB the pick is one of the max-capacity presets and clears margin
+    name, rep = recommend_preset(_flat_diag(cfg, 20.0), cfg)
+    assert preset(name).payload_bits_per_frame == max(
+        preset(p).payload_bits_per_frame for p in PRESET_REQUIRED_SNR_DB)
+    assert rep["required_snr_db"] + rep["margin_db"] <= rep["effective_snr_db"]
+
+
+def test_adapt_cli_roundtrip(tmp_path):
+    """adapt → table JSON → transmit --loading → receive --loading."""
+    from scipy.io import wavfile
+
+    from gf3x.cli import main
+
+    rng = np.random.default_rng(11)
+    cfg = preset("gf3")
+    probe = GoldenModem(cfg).encode(b"probe payload", "p.bin")
+    rx = awgn(delay_gain(probe, 700, 0.9, total_len=probe.size + 3000),
+              22.0, rng)
+    probe_wav = tmp_path / "probe.wav"
+    wavfile.write(probe_wav, cfg.fs, (np.clip(rx, -1, 1) * 32767).astype(np.int16))
+    table_json = tmp_path / "table.json"
+    assert main(["adapt", str(probe_wav), "-o", str(table_json),
+                 "--margin", "1.0", "--json"]) == 0
+    table = json.loads(table_json.read_text())
+    assert "bit_loading" in table and len(table["bit_loading"]) == cfg.n_data_bins
+
+    payload_file = tmp_path / "data.bin"
+    payload_file.write_bytes(bytes(rng.integers(0, 256, 96, dtype=np.uint8)))
+    tx_wav = tmp_path / "tx.wav"
+    assert main(["--loading", str(table_json), "transmit", str(payload_file),
+                 "-o", str(tx_wav)]) == 0
+    fs, tx = wavfile.read(tx_wav)
+    rx2 = awgn(delay_gain(tx / 32767.0, 300, 0.9,
+                          total_len=tx.size + 2000), 24.0, rng)
+    rx_wav = tmp_path / "rx.wav"
+    wavfile.write(rx_wav, fs, (np.clip(rx2, -1, 1) * 32767).astype(np.int16))
+    outdir = tmp_path / "out"
+    assert main(["--loading", str(table_json), "receive", str(rx_wav),
+                 "-o", str(outdir)]) == 0
+    assert (outdir / "data.bin").read_bytes() == payload_file.read_bytes()

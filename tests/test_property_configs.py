@@ -25,6 +25,7 @@ def _random_config(rng) -> ModemConfig:
         n_data_symbols=int(rng.integers(6, 24)),
         chirp_duration=float(rng.uniform(0.02, 0.08)),
         fec=fec, ldpc_z=int(rng.choice([24, 32])), ldpc_iters=10,
+        ldpc_rate=str(rng.choice(["1/2", "2/3", "3/4", "5/6"])),
     )
     try:
         return cfg.validate()
