@@ -117,6 +117,51 @@ def test_recommend_monotone_in_snr():
     assert rep["required_snr_db"] + rep["margin_db"] <= rep["effective_snr_db"]
 
 
+def test_loading_exploits_reallocated_power():
+    """Bins that are permanently dead (a deep notch) donate durable TX
+    power: with 30 % of the band 40 dB down, the surviving bins' boost
+    (10·log10(1/0.7) ≈ 1.5 dB) must lift them over the next order's
+    threshold — and the credited boost must never exceed the actual one."""
+    cfg = preset("gf3")
+    lay = layout(cfg)
+    H = np.ones(cfg.n_used, dtype=np.complex64)
+    dead = lay.data_pos[: int(0.3 * cfg.n_data_bins)]
+    H[dead] = 1e-2
+    # live bins at 8.2 dB: below 16-QAM's 8+1 dB margin bar unboosted,
+    # above it with the ~1.5 dB reallocation boost
+    diag = {"H": H * 10 ** (8.2 / 20.0), "noise_var": 1.0}
+    table = np.asarray(bit_loading_from_probe(diag, cfg, margin_db=1.0,
+                                              rate="1/2"))
+    live = np.setdiff1d(np.arange(cfg.n_data_bins),
+                        np.searchsorted(lay.data_pos, dead))
+    assert (table[np.searchsorted(lay.data_pos, dead)] == 0).all()
+    assert (table[live] == 4).all()      # boosted past the 16-QAM bar
+    # safety: every loaded bin clears its threshold at the ACTUAL boost
+    snr = data_bin_snr_db(diag, cfg)
+    actual_boost = 10 * np.log10(cfg.n_data_bins / np.count_nonzero(table))
+    req = {2: 2.0, 4: 8.0, 6: 13.0}
+    for m in (2, 4, 6):
+        sel = table == m
+        assert (snr[sel] + actual_boost >= req[m] + 1.0 - 1e-9).all()
+
+
+@pytest.mark.parametrize("snr_db", [5.0, 14.0])
+def test_recommendation_actually_decodes(snr_db):
+    """Calibration honesty: the preset recommended at a flat SNR must
+    decode a real AWGN transfer AT that SNR (closes the loop between the
+    threshold table and the measured waterfalls it cites)."""
+    cfg = preset("gf3")
+    name, _ = recommend_preset(_flat_diag(cfg, snr_db), cfg)
+    m = GoldenModem(preset(name))
+    rng = np.random.default_rng(int(snr_db))
+    payload = bytes(rng.integers(0, 256, 128, dtype=np.uint8))
+    wav = m.encode(payload, "c")
+    rx = awgn(delay_gain(wav, 400, 1.0, total_len=wav.size + 2000),
+              snr_db, rng)
+    res = m.decode(rx)
+    assert res.crc_ok and res.payload == payload, (snr_db, name)
+
+
 def test_adapt_cli_roundtrip(tmp_path):
     """adapt → table JSON → transmit --loading → receive --loading."""
     from scipy.io import wavfile

@@ -152,6 +152,51 @@ def main() -> int:
           f"iters xla={int(np.max(np.asarray(itx)))} "
           f"pallas_max={int(np.max(np.asarray(itp)))}")
 
+    # ---- 3b. multi-rate family on chip: Pallas ≡ XLA at rate 3/4 and the
+    # gf3-hicap preset decodes a coded frame end to end on hardware
+    code34 = LdpcCode(96, "3/4")
+    u = rng.integers(0, 2, size=(256, code34.k), dtype=np.uint8)
+    c = code34.encode(u)
+    y = (1.0 - 2.0 * c) + rng.normal(0, 0.62, c.shape)
+    llr34 = (2 * y / 0.62**2).astype(np.float32)
+    bx34 = code34.decode_jax(jnp.asarray(llr34), 30, use_pallas=False)
+    lam34 = jnp.asarray(llr34).reshape(256, N_BLOCK_COLS, 96).transpose(1, 2, 0)
+    tot34, _, _ = code34.decode_lanes(lam34, 30, use_pallas=True)
+    bp34 = (np.asarray(tot34).transpose(2, 0, 1)
+            .reshape(256, code34.n)[:, : code34.k] < 0).astype(np.uint8)
+    check("ldpc_pallas_rate34", np.array_equal(bp34, np.asarray(bx34)), "")
+
+    mh = Modem(preset("gf3-hicap"))
+    payh = bytes(rng.integers(0, 256, 1500, dtype=np.uint8))
+    wavh = mh.encode(payh, "h.bin")
+    rxh = np.zeros(wavh.size + 4000, np.float32)
+    rxh[1100: 1100 + wavh.size] = 0.7 * wavh
+    rxh += (rng.standard_normal(rxh.size) * 2e-3).astype(np.float32)
+    rh = mh.decode(rxh)
+    check("hicap_decode", rh.crc_ok and rh.payload == payh,
+          "16-QAM rate-3/4 on-chip decode")
+
+    # ---- 3c. bit-loaded config on chip (SPEC §5b): the router must refuse
+    # the fused kernel and the XLA tail must decode bit-identically to the
+    # float64 golden twin on the same recording
+    from gf3x import GoldenModem
+    cfgL = GF3_STANDARD.replace(bit_loading=tuple(
+        int(x) for x in np.random.default_rng(5).choice(
+            [0, 2, 4, 6], size=GF3_STANDARD.n_data_bins,
+            p=[0.1, 0.4, 0.35, 0.15])))
+    mL = Modem(cfgL)
+    payL = bytes(rng.integers(0, 256, 600, dtype=np.uint8))
+    wavL = np.asarray(mL.encode(payL, "l.bin"))
+    rxL = np.zeros(wavL.size + 3000, np.float32)
+    rxL[900: 900 + wavL.size] = 0.8 * wavL
+    rxL += (rng.standard_normal(rxL.size) * 2e-3).astype(np.float32)
+    rL = mL.decode(rxL)
+    rG = GoldenModem(cfgL).decode(rxL.astype(np.float64))
+    check("bit_loading_decode",
+          rL.crc_ok and rL.payload == payL
+          and np.array_equal(rL.bits, rG.bits),
+          f"{cfgL.bits_per_ofdm_symbol} bits/sym, golden-bit-exact on chip")
+
     # ---- 4. DMA cut kernels vs XLA fallback, sample-exact
     from gf3x.ops.pallas.gather_cut import gather_cut_group_tpu
     from gf3x.ops.sync import max_cut_start
