@@ -47,9 +47,24 @@ def _modem(args):
     if args.qam:
         cfg = cfg.replace(bits_per_symbol={4: 2, 16: 4, 64: 6}[args.qam])
     if getattr(args, "loading", None):
-        table = json.loads(Path(args.loading).read_text())
-        if isinstance(table, dict):
-            table = table["bit_loading"]
+        doc = json.loads(Path(args.loading).read_text())
+        table = doc.get("bit_loading") if isinstance(doc, dict) else doc
+        if not table:
+            raise SystemExit(
+                f"{args.loading} carries no bit_loading table"
+                + (f" ({doc['bit_loading_error']})"
+                   if isinstance(doc, dict) and "bit_loading_error" in doc
+                   else ""))
+        if isinstance(doc, dict) and "table_rate" in doc:
+            # a table is margined for ONE code rate (gf3x.ops.adapt
+            # RATE_OFFSET_DB); using it at a higher rate silently eats
+            # 2.5-6 dB of margin — refuse instead
+            want = cfg.ldpc_rate if cfg.fec == "ldpc" else "uncoded"
+            if doc["table_rate"] != want:
+                raise SystemExit(
+                    f"{args.loading} was calibrated for rate "
+                    f"{doc['table_rate']}, but this config runs {want}; "
+                    f"regenerate with `gf3x adapt --rate {want}`")
         cfg = cfg.replace(bit_loading=tuple(int(b) for b in table))
     return Modem(cfg)
 
@@ -215,10 +230,17 @@ def cmd_adapt(args) -> int:
     modem = _modem(args)
     rx, _ = read_wav(args.wav, expect_fs=modem.cfg.fs if args.strict_fs else None)
     res = modem.decode(rx)
-    if res.diag is None or not np.isfinite(float(np.max(res.diag.sync_metric))):
-        print("no frame synchronized in the probe recording", file=sys.stderr)
+    if res.diag is None or not res.crc_ok:
+        # a mis-synced or undecodable probe yields a garbage Ĥ — a table
+        # built from it would be adopted by BOTH ends; refuse instead of
+        # recommending from noise
+        print("probe did not decode (crc failed) — refusing to adapt from "
+              "an untrusted channel estimate; re-record the probe or use a "
+              "more robust probe preset", file=sys.stderr)
         return 2
     diag = res.diag
+    rate = args.rate or (modem.cfg.ldpc_rate if modem.cfg.fec == "ldpc"
+                         else "uncoded")
     name, report = recommend_preset(diag, modem.cfg, margin_db=args.margin)
     out = {
         "probe_preset": args.preset,
@@ -226,10 +248,11 @@ def cmd_adapt(args) -> int:
         "effective_snr_db": report["effective_snr_db"],
         "recommended_preset": name,
         "recommendation": report,
+        "table_rate": rate,
     }
     try:
         table = bit_loading_from_probe(diag, modem.cfg,
-                                       margin_db=args.margin)
+                                       margin_db=args.margin, rate=rate)
         snr = data_bin_snr_db(diag, modem.cfg)
         out["bit_loading"] = list(table)
         out["loading_summary"] = {
@@ -243,7 +266,9 @@ def cmd_adapt(args) -> int:
         out["bit_loading_error"] = str(e)
     if args.output:
         Path(args.output).write_text(json.dumps(out, indent=1))
-        print(f"wrote {args.output}")
+        print(f"wrote {args.output}"
+              + (" (recommendation only — no usable table, see "
+                 "bit_loading_error)" if "bit_loading" not in out else ""))
     if args.json:
         print(json.dumps(out))
     else:
@@ -255,10 +280,13 @@ def cmd_adapt(args) -> int:
         if "bit_loading" in out:
             s = out["loading_summary"]
             print(f"bit-loading      : {s['bits_per_symbol_total']} bits/sym "
-                  f"over {modem.cfg.n_data_bins} bins {s['bins_by_order']}")
+                  f"over {modem.cfg.n_data_bins} bins {s['bins_by_order']} "
+                  f"at rate {rate}")
             print("use via          : gf3x --loading TABLE.json transmit/receive"
                   " (write with -o)")
-    return 0
+        else:
+            print(f"no loading table : {out['bit_loading_error']}")
+    return 0 if "bit_loading" in out else 3
 
 
 def cmd_bench(args) -> int:
@@ -272,8 +300,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="gf3x", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("--preset", default="gf3",
-                    help="config preset (gf3 | gf3-fast | gf3-turbo | "
-                         "gf3-robust | loopback)")
+                    help="config preset (gf3 | gf3-fast | gf3-hicap | "
+                         "gf3-turbo | gf3-robust | loopback)")
     ap.add_argument("--qam", type=int, choices=[4, 16, 64], default=None,
                     help="override constellation order")
     ap.add_argument("--loading", default=None,
@@ -328,6 +356,10 @@ def main(argv=None) -> int:
     a.add_argument("-o", "--output", help="write the table JSON here")
     a.add_argument("--margin", type=float, default=2.0,
                    help="SNR margin (dB) over the measured operating points")
+    a.add_argument("--rate", default=None,
+                   help="code rate to calibrate the table for (1/2, 2/3, "
+                        "3/4, 5/6, or 'uncoded'; default: the probe "
+                        "preset's rate)")
     a.add_argument("--strict-fs", action="store_true")
     a.add_argument("--json", action="store_true")
     a.set_defaults(fn=cmd_adapt)

@@ -145,6 +145,47 @@ def test_loading_exploits_reallocated_power():
         assert (snr[sel] + actual_boost >= req[m] + 1.0 - 1e-9).all()
 
 
+def test_uncoded_tables_use_uncoded_thresholds():
+    """fec='none' configs must be margined against the ~12 dB-higher
+    max-log points, not the LDPC waterfall cliffs: a flat 15 dB channel
+    loads QPSK everywhere uncoded (16-QAM needs ~20 dB), while the same
+    channel at rate-1/2 LDPC loads 16-QAM everywhere."""
+    cfg = ModemConfig(fec="none")
+    diag = _flat_diag(cfg, 15.0)
+    t_unc = bit_loading_from_probe(diag, cfg, margin_db=1.0)
+    assert set(t_unc) == {2}
+    t_coded = bit_loading_from_probe(_flat_diag(cfg, 10.0), cfg,
+                                     margin_db=1.0, rate="1/2")
+    assert set(t_coded) == {4}
+
+
+def test_cli_rejects_probe_crc_failure_and_rate_mismatch(tmp_path):
+    import json as _json
+
+    from scipy.io import wavfile
+
+    from gf3x.cli import main
+
+    cfg = preset("gf3")
+    rng = np.random.default_rng(3)
+    # pure noise probe: adapt must refuse (exit 2), not recommend from it
+    noise = (rng.normal(0, 0.05, 80000) * 32767).astype(np.int16)
+    noise_wav = tmp_path / "noise.wav"
+    wavfile.write(noise_wav, cfg.fs, noise)
+    assert main(["adapt", str(noise_wav)]) == 2
+    # a table stamped for rate 1/2 must be refused by a rate-3/4 config
+    tbl = tmp_path / "tbl.json"
+    tbl.write_text(_json.dumps({
+        "table_rate": "1/2", "bit_loading": [2] * cfg.n_data_bins}))
+    with pytest.raises(SystemExit, match="calibrated for rate 1/2"):
+        main(["--preset", "gf3-hicap", "--loading", str(tbl), "info"])
+    # an error-only table file fails with a clear message, not a KeyError
+    bad = tmp_path / "bad.json"
+    bad.write_text(_json.dumps({"bit_loading_error": "channel too poor"}))
+    with pytest.raises(SystemExit, match="no bit_loading table"):
+        main(["--loading", str(bad), "info"])
+
+
 @pytest.mark.parametrize("snr_db", [5.0, 14.0])
 def test_recommendation_actually_decodes(snr_db):
     """Calibration honesty: the preset recommended at a flat SNR must
