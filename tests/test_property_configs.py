@@ -28,9 +28,20 @@ def _random_config(rng) -> ModemConfig:
         ldpc_rate=str(rng.choice(["1/2", "2/3", "3/4", "5/6"])),
     )
     try:
-        return cfg.validate()
+        cfg = cfg.validate()
     except AssertionError:
         return None
+    if rng.random() < 0.35:
+        # per-bin bit-loading (SPEC §5b) over the drawn geometry: random
+        # mixed orders incl. nulls; keep ≥ half the bins active so coded
+        # configs still fit a codeword
+        table = tuple(int(x) for x in rng.choice(
+            [0, 2, 4, 6], size=cfg.n_data_bins, p=[0.2, 0.4, 0.25, 0.15]))
+        try:
+            cfg = cfg.replace(bit_loading=table)
+        except AssertionError:
+            return None
+    return cfg
 
 
 SEEDS = list(range(40, 48))
