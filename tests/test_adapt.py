@@ -52,6 +52,27 @@ def test_loaded_loopback_parity_jax_golden():
     assert np.std(wav[a:]) == pytest.approx(np.std(w0[a:]), rel=0.02)
 
 
+def test_loaded_batch_decode():
+    """The batched (B, T) sync-included decode path through the per-group
+    demap: three loaded frames at different delays decode in one jit call."""
+    table = tuple([0, 2, 4, 6] * 61 + [2])        # len 245, mixed
+    cfg = ModemConfig(fec="none").replace(bit_loading=table)
+    m = Modem(cfg)
+    rng = np.random.default_rng(4)
+    payloads = [bytes(rng.integers(0, 256, 60, dtype=np.uint8))
+                for _ in range(3)]
+    wavs = m.encode_batch(payloads, filenames=["a", "b", "c"])
+    B, T = wavs.shape
+    rx = np.zeros((B, T + 900), np.float32)
+    for i, d in enumerate((100, 400, 800)):
+        rx[i, d: d + T] = wavs[i]
+    rx += rng.normal(0, 1e-3, rx.shape).astype(np.float32)
+    out = m.decode_batch(rx)
+    for i, r in enumerate(out):
+        assert r.crc_ok and r.payload == payloads[i]
+        assert abs(int(np.asarray(r.diag.sync_start)) - (100, 400, 800)[i]) <= 2
+
+
 def test_probe_loading_on_shaped_channel():
     """A harsh speaker rolloff (8 kHz cut against a 13 kHz band) must drive
     the upper bins to fewer/zero bits, keep the clean midband loaded, and

@@ -63,6 +63,13 @@ CORNERS = {
                                  interleave=False),
     "qam64_two_pilots": dict(pilot_spacing=140, bits_per_symbol=6),
     "narrow_band": dict(bin_lo=100, bin_hi=107, pilot_spacing=4),
+    # SPEC §5b loading degenerates: pilotless loading (n_data_bins =
+    # n_used = 280), and a nearly-all-null table (24/245 bins carry all
+    # the bits at maximum power reallocation gain ≈ √10)
+    "loaded_pilotless": dict(pilot_spacing=0,
+                             bit_loading=tuple([2, 4] * 140)),
+    "loaded_sparse": dict(
+        bit_loading=tuple(6 if i % 10 == 0 else 0 for i in range(245))),
 }
 
 
