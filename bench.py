@@ -84,13 +84,13 @@ def matmul_flops_per_frame(cfg, search_len: int) -> float:
     # helper — a private copy here drifted once already)
     nfft = bounded_sync_nfft(cfg.frame_len + search_len, search_len,
                              cfg.chirp_len, decimate=2)
-    from gf3x.ops.sync import _MF_DIRECT_MAX_W
+    from gf3x.ops.sync import bounded_mf_shape
 
     T = cfg.frame_len + search_len
-    seg = (min(search_len, T) + cfg.chirp_len) // 2
-    n_lags = min(search_len, T) // 2
+    # the router's own geometry helper — a private copy here drifted once
+    seg, n_lags, direct = bounded_mf_shape(T, search_len, cfg.chirp_len)
     flops = 0.0
-    if seg * n_lags <= _MF_DIRECT_MAX_W:
+    if direct:
         flops += 2 * seg * n_lags                        # direct Toeplitz MF
     elif good_mm_size(nfft):
         h = nfft // 2
@@ -121,12 +121,11 @@ def hbm_bytes_per_step(cfg, T: int, B: int, search_len: int) -> dict:
     LP = -(-cfg.n_data_bins * cfg.bits_per_symbol // 8) * 8
     ncw, z = cfg.n_codewords, cfg.ldpc_z
 
-    from gf3x.ops.sync import _MF_DIRECT_MAX_W
+    from gf3x.ops.sync import bounded_mf_shape
 
     F = bounded_sync_nfft(T, search_len, cfg.chirp_len, decimate=2)
-    seg = (min(search_len, T) + cfg.chirp_len) // 2
-    n_lags = min(search_len, T) // 2
-    if seg * n_lags <= _MF_DIRECT_MAX_W:
+    seg, n_lags, direct = bounded_mf_shape(T, search_len, cfg.chirp_len)
+    if direct:
         # direct Toeplitz-matmul matched filter (the routing rule in
         # ops/sync._mf_bounded_abs): seg read + bf16 weights + |m| write
         # + argmax/first-arrival passes over |m|

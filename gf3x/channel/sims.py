@@ -101,7 +101,15 @@ def resample_sfo(x: np.ndarray, ppm: float, fs: int = 44100,
         n_out = int(np.floor((len(x) - 1) / ratio)) + 1
         t = np.arange(n_out) * ratio
     else:
-        n = np.arange(len(x) + int(0.01 * len(x)) + 2, dtype=np.float64)
+        # output length from the INTEGRATED clock ratio at the recording
+        # end (a fixed 1% margin silently truncated the tail once the
+        # cumulative negative drift passed 1%): mean δ over the recording
+        # plus wobble slack, then the exact t <= end cut below
+        dur = len(x) / fs
+        mean_delta = 1e-6 * (ppm + drift_ppm_per_s * dur / 2.0
+                             - abs(wobble_ppm))
+        n_out = int(np.ceil(len(x) / max(1.0 + mean_delta, 0.5))) + 2
+        n = np.arange(n_out, dtype=np.float64)
         ts = n / fs                      # output-sample wall time, seconds
         t = n + 1e-6 * (
             ppm * n

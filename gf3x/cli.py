@@ -357,9 +357,9 @@ def main(argv=None) -> int:
     a.add_argument("--margin", type=float, default=2.0,
                    help="SNR margin (dB) over the measured operating points")
     a.add_argument("--rate", default=None,
-                   help="code rate to calibrate the table for (1/2, 2/3, "
-                        "3/4, 5/6, or 'uncoded'; default: the probe "
-                        "preset's rate)")
+                   choices=["1/2", "2/3", "3/4", "5/6", "uncoded"],
+                   help="code rate to calibrate the table for "
+                        "(default: the probe preset's rate)")
     a.add_argument("--strict-fs", action="store_true")
     a.add_argument("--json", action="store_true")
     a.set_defaults(fn=cmd_adapt)

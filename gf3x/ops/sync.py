@@ -148,6 +148,21 @@ def matched_filter(rx: jnp.ndarray, chirp: np.ndarray,
 _MF_DIRECT_MAX_W = 32 << 20
 
 
+def bounded_mf_shape(T: int, search_len: int, chirp_len: int,
+                     decimate: int = 2) -> tuple[int, int, bool]:
+    """Static geometry of the bounded matched filter that
+    `find_frame_start(search_len=..., decimate=...)` runs on a (..., T)
+    recording: (seg_len, n_lags, direct), where `direct` is True when the
+    on-TPU router takes the Toeplitz-matmul form (seg·lags within
+    `_MF_DIRECT_MAX_W`) and False for the FFT form. Exported so perf
+    accounting (bench.py flops/bytes models) describes the SAME routing
+    as the implementation instead of a private copy that can drift."""
+    S = min(search_len, T)
+    seg_len = -(-min(S + chirp_len, T) // decimate)
+    n_lags = min(S // decimate, seg_len)
+    return seg_len, n_lags, seg_len * n_lags <= _MF_DIRECT_MAX_W
+
+
 @functools.lru_cache(maxsize=8)
 def _toeplitz_mf_weights(chirp_key: bytes, seg_len: int,
                          n_lags: int) -> np.ndarray:

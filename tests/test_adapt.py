@@ -180,6 +180,27 @@ def test_uncoded_tables_use_uncoded_thresholds():
     assert set(t_coded) == {4}
 
 
+def test_codeword_fit_guard_follows_table_rate():
+    """The one-codeword-fits guard keys on the rate the TABLE targets:
+    an uncoded table from a coded probe config must not demand a
+    codeword to fit, and a coded-target table from an uncoded probe
+    config must still refuse a frame too sparse for one codeword."""
+    coded_probe = preset("gf3")         # fec='ldpc', z=96: n = 2304
+    # notch so hard that only 20 bins survive: even at 64-QAM the frame
+    # carries 20·6·16 = 1920 raw bits < one z=96 codeword (n = 2304)
+    H = np.full(coded_probe.n_used, 1e-3, dtype=np.complex64)
+    H[layout(coded_probe).data_pos[:20]] = 10 ** (20.0 / 20.0)
+    diag = {"H": H, "noise_var": 1.0}
+    t = bit_loading_from_probe(diag, coded_probe, margin_db=1.0,
+                               rate="uncoded")
+    assert sum(t) > 0                   # uncoded: no codeword constraint
+    with pytest.raises(ValueError, match="one LDPC codeword"):
+        bit_loading_from_probe(diag, ModemConfig(fec="none", ldpc_z=96),
+                               margin_db=1.0, rate="1/2")
+    with pytest.raises(ValueError, match="unknown rate"):
+        bit_loading_from_probe(diag, coded_probe, rate="4/5")
+
+
 def test_cli_rejects_probe_crc_failure_and_rate_mismatch(tmp_path):
     import json as _json
 

@@ -27,6 +27,26 @@ def test_speaker_mic_fir_shape():
         assert abs(gain_db(fr)) < 3.0, fr
 
 
+def test_resample_sfo_negative_drift_keeps_tail():
+    """Cumulative negative drift beyond 1 % must not truncate the output
+    (the old fixed 1 % output margin silently dropped the recording tail
+    and with it the final frames): output length tracks the integrated
+    clock ratio, and the resampled tail still carries the signal."""
+    fs = 44100
+    x = np.sin(2 * np.pi * 1000.0 * np.arange(10 * fs) / fs)
+    y = resample_sfo(x, -6000.0, fs=fs, drift_ppm_per_s=-1000.0)
+    # mean delta ≈ -6000 - 1000·(10/2) = -11000 ppm → ~1.1 % MORE samples
+    assert len(y) > 1.0105 * len(x)
+    assert np.std(y[-fs // 10:]) > 0.5          # tail is signal, not pad
+    # the constant branch agrees with the time-varying branch at drift 0
+    y0 = resample_sfo(x, -6000.0, fs=fs)
+    y1 = resample_sfo(x, -6000.0, fs=fs, drift_ppm_per_s=0.0,
+                      wobble_ppm=1e-9)
+    n = min(len(y0), len(y1))
+    assert abs(len(y0) - len(y1)) <= 2
+    np.testing.assert_allclose(y0[:n], y1[:n], atol=1e-6)
+
+
 @pytest.mark.parametrize("ripple_db", [0.0, 3.0])
 def test_decode_through_speaker_mic_response(ripple_db):
     """GF3 frames through the transducer FIR (+noise): the used band
