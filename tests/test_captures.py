@@ -26,10 +26,19 @@ def test_manifest_format_matches_wire_format():
     assert MANIFEST["format"] == WIRE_FORMAT
 
 
+def _capture_config(cap):
+    """Manifest entry → config: the optional `bit_loading` field is the
+    out-of-band table agreement of SPEC §5b, exactly as deployed."""
+    cfg = preset(cap["preset"])
+    if "bit_loading" in cap:
+        cfg = cfg.replace(bit_loading=tuple(cap["bit_loading"]))
+    return cfg
+
+
 @pytest.mark.parametrize("cap", MANIFEST["captures"], ids=lambda c: c["wav"])
 def test_capture_decodes_bit_exact(cap):
     rx, _ = read_wav(FIXTURES / cap["wav"])
-    modem = Modem(preset(cap["preset"]))
+    modem = Modem(_capture_config(cap))
     res = decode_stream(modem, rx)
     assert res.complete, f"{cap['wav']}: missing frames {res.missing}"
     assert res.starts.size == cap["n_frames"]
@@ -47,7 +56,7 @@ def test_golden_also_decodes_single_frame_captures():
         if cap["n_frames"] != 1:
             continue
         rx, _ = read_wav(FIXTURES / cap["wav"])
-        g = GoldenModem(preset(cap["preset"]))
+        g = GoldenModem(_capture_config(cap))
         res = g.decode(rx.astype("float64"))
         assert res.crc_ok
         assert hashlib.sha256(res.payload).hexdigest() == cap["payload_sha256"]

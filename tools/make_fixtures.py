@@ -40,7 +40,7 @@ def main():
     OUT.mkdir(parents=True, exist_ok=True)
     manifest = {"format": WIRE_FORMAT, "captures": []}
 
-    def add(name, rx, payload, preset, filename, n_frames):
+    def add(name, rx, payload, preset, filename, n_frames, **extra):
         write_wav(OUT / name, rx)
         manifest["captures"].append({
             "wav": name,
@@ -49,6 +49,7 @@ def main():
             "payload_sha256": hashlib.sha256(payload).hexdigest(),
             "payload_len": len(payload),
             "n_frames": n_frames,
+            **extra,
         })
 
     # 1. GF3 standard single frame through a mild room (golden-model TX)
@@ -101,6 +102,37 @@ def main():
     wav = g1.encode(payload, "capture3.bin")
     rx = awgn(delay_gain(wav, 9000, 0.25, total_len=len(wav) + 14000), 24.0, rng)
     add("uncoded_delay_gain.wav", rx, payload, "loopback", "capture3.bin", 1)
+
+    # 5. gf3-hicap (16-QAM, rate-3/4) single frame through a mild room —
+    #    pins the MULTI-RATE code family: the seeded higher-rate base
+    #    matrix construction (fec/codes._design_base) is wire format; any
+    #    change to its seeds/scoring breaks this decode
+    from gf3x.config import preset as _preset
+    rng = np.random.default_rng(105)
+    payload = bytes(rng.integers(0, 256, 1500, dtype=np.uint8))
+    g5 = GoldenModem(_preset("gf3-hicap"))
+    wav = g5.encode(payload, "capture5.bin")
+    h = room_impulse_response(rng, rt60=0.015, drr_db=8.0)
+    rx = awgn(delay_gain(multipath(wav, h), 5000, 0.5,
+                         total_len=len(wav) + 12000), 24.0, rng)
+    add("hicap_rate34_room.wav", rx, payload, "gf3-hicap", "capture5.bin", 1)
+
+    # 6. Bit-loaded frame (SPEC §5b) with a FIXED deterministic table —
+    #    pins the group-sorted wire order, the static permutation, and
+    #    the power-reallocation gain. The table itself lives in the
+    #    manifest (the out-of-band agreement, exactly as deployed).
+    rng = np.random.default_rng(106)
+    table = tuple(int(x) for x in
+                  np.resize([0, 2, 2, 4, 4, 6, 2, 4],
+                            GF3_STANDARD.n_data_bins))
+    lcfg = GF3_STANDARD.replace(bit_loading=table)
+    payload = bytes(rng.integers(0, 256, 800, dtype=np.uint8))
+    g6 = GoldenModem(lcfg)
+    wav = g6.encode(payload, "capture6.bin")
+    rx = awgn(delay_gain(wav, 7000, 0.6, total_len=len(wav) + 14000),
+              22.0, rng)
+    add("bitloaded_delay_gain.wav", rx, payload, "gf3", "capture6.bin", 1,
+        bit_loading=list(table))
 
     (OUT / "manifest.json").write_text(json.dumps(manifest, indent=1))
     print(f"wrote {len(manifest['captures'])} captures to {OUT}")
