@@ -59,7 +59,10 @@ def main() -> int:
     manifest = json.loads((fixtures / "manifest.json").read_text())
     for cap in manifest["captures"]:
         rx, _ = read_wav(fixtures / cap["wav"])
-        res = decode_stream(Modem(preset(cap["preset"])), rx)
+        cfg_c = preset(cap["preset"])
+        if "bit_loading" in cap:   # SPEC §5b out-of-band table agreement
+            cfg_c = cfg_c.replace(bit_loading=tuple(cap["bit_loading"]))
+        res = decode_stream(Modem(cfg_c), rx)
         ok = (res.complete
               and hashlib.sha256(res.payload).hexdigest() == cap["payload_sha256"])
         check(f"capture:{cap['wav']}", ok,
