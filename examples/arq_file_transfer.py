@@ -31,8 +31,8 @@ import numpy as np
 from gf3x import Modem, preset
 from gf3x.channel import awgn, delay_gain, multipath, room_impulse_response
 from gf3x.io import write_wav
-from gf3x.models.stream import (decode_stream, encode_file, encode_frames,
-                                frame_capacity, merge_streams)
+from gf3x.models.stream import (chase_combine, decode_stream, encode_file,
+                                encode_frames, frame_capacity, merge_streams)
 
 
 def air(wav, rir, rng, snr_db=16.0, kill_spans=()):
@@ -88,6 +88,24 @@ def main(outdir: str = "demo_out"):
     print(f"transfer complete after {rounds} retransmission round(s): "
           f"{len(payload)} B bit-exact "
           f"({got.starts.size} forward frames decoded in total)")
+
+    # ---- HARQ upgrade: when a RETRANSMISSION also arrives damaged, the
+    # two failed copies still carry enough soft information together —
+    # chase combining sums their coded LLRs (~+3 dB) instead of wasting
+    # the failed receptions
+    from gf3x.channel import awgn as _awgn
+    one = modem.encode(payload[: frame_capacity(modem, "x")], "x")
+    bad = []
+    for seed in (21, 22):
+        r = np.random.default_rng(seed)
+        rx1 = _awgn(delay_gain(one, 250, 1.0, total_len=one.size + 2000),
+                    -0.5, r)
+        bad.append((rx1, 250))
+    singles = [modem.decode(rx, start=s, sfo="off").crc_ok for rx, s in bad]
+    combined = chase_combine(modem, bad)
+    print(f"chase combining: single decodes crc_ok={singles} → "
+          f"combined crc_ok={combined.crc_ok} (two failed copies, one frame)")
+    assert not any(singles) and combined.crc_ok
 
 
 if __name__ == "__main__":

@@ -748,6 +748,35 @@ class Modem:
                 return retry
         return res
 
+    def coded_llrs(self, rx: np.ndarray, start: int) -> np.ndarray:
+        """Host API: one reception's descrambled coded-STREAM LLRs
+        (raw_bits_per_frame,) — the soft input `chase_combine` sums across
+        repeated receptions of the same frame (LLRs are already 1/σ²
+        normalized, so the straight sum is maximum-ratio combining)."""
+        rx = jnp.asarray(np.asarray(rx, dtype=np.float32))
+
+        def fn(r, s):
+            llr_like, _ = self._demod_at(r, s)
+            return self.coded_stream_llr(llr_like, r.shape[:-1])
+
+        if "coded_llr" not in self._jit_cache:
+            self._jit_cache["coded_llr"] = jax.jit(fn)
+        return np.asarray(self._jit_cache["coded_llr"](rx, jnp.int32(start)))
+
+    def decode_stream_llr(self, llr: np.ndarray) -> DecodeResult:
+        """Host API: descrambled coded-STREAM LLRs (raw_bits_per_frame,)
+        → DecodeResult (FEC decode + header parse, no demodulation).
+        The decode tail `chase_combine` runs on summed LLRs."""
+        cfg = self.cfg
+        if cfg.fec == "ldpc":
+            used = cfg.n_codewords * cfg.ldpc_n
+            lw = llr[:used].reshape(cfg.n_codewords, cfg.ldpc_n)
+            info, _ = self._code.decode(lw.astype(np.float64), cfg.ldpc_iters)
+            bits = info.reshape(cfg.payload_bits_per_frame)
+        else:
+            bits = (llr < 0).astype(np.uint8)
+        return self._result(bits.astype(np.uint8), None)
+
     def decode_batch(self, rx: np.ndarray) -> list[DecodeResult]:
         """(B, T) recordings → list of DecodeResult (one jit call)."""
         rx = jnp.asarray(np.asarray(rx, dtype=np.float32))

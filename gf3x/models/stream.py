@@ -25,8 +25,31 @@ from .modem import DecodeResult, Modem
 __all__ = [
     "encode_file", "encode_frames", "find_frames", "find_frames_device", "decode_stream",
     "decode_stream_windows", "StreamingReceiver",
-    "merge_streams", "StreamResult", "frame_capacity",
+    "merge_streams", "chase_combine", "StreamResult", "frame_capacity",
 ]
+
+
+def chase_combine(modem: Modem, receptions) -> DecodeResult:
+    """HARQ chase combining: soft-combine repeated receptions of the SAME
+    logical frame — e.g. a CRC-failed original and a CRC-failed
+    retransmission — into one decode that succeeds where each alone fails.
+
+    receptions: iterable of (recording, chirp_onset_sample) pairs (onsets
+    from `decode_stream(...).starts` / `find_frames`). Each reception's
+    descrambled coded-stream LLRs are 1/σ̂²-scaled by the demapper, so the
+    straight sum is maximum-ratio combining (~+3 dB for two equal-SNR
+    copies); the sum then runs the normal FEC decode + header parse.
+    The pairing is the caller's (ARQ layer's) knowledge: the receiver
+    knows which seqs it NACKed and in what order the retransmission
+    carries them (`examples/arq_file_transfer.py`).
+    """
+    total = None
+    for rx, start in receptions:
+        llr = modem.coded_llrs(np.asarray(rx), int(start))
+        total = llr if total is None else total + llr
+    if total is None:
+        raise ValueError("chase_combine needs at least one reception")
+    return modem.decode_stream_llr(total)
 
 
 def frame_capacity(modem: Modem, filename: str = "") -> int:
