@@ -28,7 +28,8 @@ if _os.environ.get("GF3X_COMPILE_CACHE"):
         pass
 
 from .config import (ModemConfig, preset, GF3_STANDARD, GF3_FAST,
-                     GF3_TURBO, GF3_ROBUST, CONFIG1_LOOPBACK, layout)
+                     GF3_HICAP, GF3_TURBO, GF3_ROBUST, CONFIG1_LOOPBACK,
+                     layout)
 from .models import Modem, DecodeDiag, DecodeResult
 from .golden import GoldenModem
 
@@ -40,6 +41,7 @@ __all__ = [
     "layout",
     "GF3_STANDARD",
     "GF3_FAST",
+    "GF3_HICAP",
     "GF3_TURBO",
     "GF3_ROBUST",
     "CONFIG1_LOOPBACK",
