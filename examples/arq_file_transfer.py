@@ -66,15 +66,22 @@ def main(outdir: str = "demo_out"):
     print(f"round 0: {sum(r.crc_ok for r in got.frames)}/{got.starts.size} "
           f"frames ok, missing {got.missing}")
 
+    n_total = -(-len(payload) // frame_capacity(modem, "data.bin"))
     rounds = 0
     while not got.complete and rounds < 4:
         rounds += 1
-        # ---- reverse link: NACK list as a real modem frame
-        nack = json.dumps({"nack": got.missing, "file": got.filename}).encode()
+        # ---- reverse link: NACK list as a real modem frame. Total loss
+        # (zero CRC-ok frames) leaves missing=[] with complete=False — the
+        # receiver can't know the frame count it never saw, so it NACKs
+        # "all" and the transmitter (who knows n_total) resends everything
+        nack_val = got.missing if got.missing else "all"
+        nack = json.dumps({"nack": nack_val, "file": got.filename}).encode()
         fb_rx = air(modem.encode(nack, "nack.json"), rir, rng, snr_db=14.0)
         fb = decode_stream(modem, fb_rx)
         assert fb.complete, "feedback frame lost — ARQ would retry it"
         req = json.loads(fb.payload)["nack"]
+        if req == "all":
+            req = list(range(n_total))
         print(f"round {rounds}: transmitter decoded NACK for frames {req}")
 
         # ---- selective retransmission of exactly the NACKed frames
@@ -93,13 +100,12 @@ def main(outdir: str = "demo_out"):
     # two failed copies still carry enough soft information together —
     # chase combining sums their coded LLRs (~+3 dB) instead of wasting
     # the failed receptions
-    from gf3x.channel import awgn as _awgn
     one = modem.encode(payload[: frame_capacity(modem, "x")], "x")
     bad = []
     for seed in (21, 22):
         r = np.random.default_rng(seed)
-        rx1 = _awgn(delay_gain(one, 250, 1.0, total_len=one.size + 2000),
-                    -0.5, r)
+        rx1 = awgn(delay_gain(one, 250, 1.0, total_len=one.size + 2000),
+                   -0.5, r)
         bad.append((rx1, 250))
     singles = [modem.decode(rx, start=s, sfo="off").crc_ok for rx, s in bad]
     combined = chase_combine(modem, bad)

@@ -101,14 +101,19 @@ def resample_sfo(x: np.ndarray, ppm: float, fs: int = 44100,
         n_out = int(np.floor((len(x) - 1) / ratio)) + 1
         t = np.arange(n_out) * ratio
     else:
-        # output length from the INTEGRATED clock ratio at the recording
-        # end (a fixed 1% margin silently truncated the tail once the
-        # cumulative negative drift passed 1%): mean δ over the recording
-        # plus wobble slack, then the exact t <= end cut below
-        dur = len(x) / fs
-        mean_delta = 1e-6 * (ppm + drift_ppm_per_s * dur / 2.0
-                             - abs(wobble_ppm))
-        n_out = int(np.ceil(len(x) / max(1.0 + mean_delta, 0.5))) + 2
+        # output length from the INTEGRATED clock ratio (a fixed 1% margin
+        # silently truncated the tail once cumulative negative drift passed
+        # 1%). The drift integral runs over the OUTPUT duration, which the
+        # length itself determines — one fixed-point pass closes the
+        # second-order gap (~tens of samples at heavy drift), a small slack
+        # absorbs the rest, and the exact t <= end cut below trims.
+        n_out = len(x)
+        for _ in range(3):
+            dur_out = n_out / fs
+            mean_delta = 1e-6 * (ppm + drift_ppm_per_s * dur_out / 2.0
+                                 - abs(wobble_ppm))
+            n_out = int(np.ceil(len(x) / max(1.0 + mean_delta, 0.5)))
+        n_out += 16
         n = np.arange(n_out, dtype=np.float64)
         ts = n / fs                      # output-sample wall time, seconds
         t = n + 1e-6 * (

@@ -748,20 +748,86 @@ class Modem:
                 return retry
         return res
 
-    def coded_llrs(self, rx: np.ndarray, start: int) -> np.ndarray:
+    def coded_llrs(self, rx: np.ndarray, start: int,
+                   sfo_correct: bool = False,
+                   delta: Optional[float] = None) -> np.ndarray:
         """Host API: one reception's descrambled coded-STREAM LLRs
         (raw_bits_per_frame,) — the soft input `chase_combine` sums across
         repeated receptions of the same frame (LLRs are already 1/σ²
-        normalized, so the straight sum is maximum-ratio combining)."""
+        normalized, so the straight sum is maximum-ratio combining).
+
+        `delta` demodulates through the δ-warped DFT at a KNOWN clock
+        offset (chase combining estimates one shared δ̂ jointly across
+        receptions — `joint_clock_offset`); `sfo_correct` self-estimates
+        per reception instead (unreliable below the waterfall cliff: the
+        per-reception coarse stage fails nonlinearly there)."""
         rx = jnp.asarray(np.asarray(rx, dtype=np.float32))
 
+        if delta is not None:
+            def fn_d(r, s, d):
+                syms, _, roll = self._cut_frame(r, s)
+                llr_like, _ = self._demod_syms(syms, delta=d, roll=roll)
+                return self.coded_stream_llr(llr_like, r.shape[:-1])
+            if "coded_llr_d" not in self._jit_cache:
+                self._jit_cache["coded_llr_d"] = jax.jit(fn_d)
+            return np.asarray(self._jit_cache["coded_llr_d"](
+                rx, jnp.int32(start), jnp.float32(delta)))
+
         def fn(r, s):
-            llr_like, _ = self._demod_at(r, s)
+            syms, sc_win, roll = self._cut_frame(r, s)
+            d = (self._two_pass_delta(syms, sc_win, roll)
+                 if sfo_correct else None)
+            llr_like, _ = self._demod_syms(syms, delta=d, roll=roll)
             return self.coded_stream_llr(llr_like, r.shape[:-1])
 
-        if "coded_llr" not in self._jit_cache:
-            self._jit_cache["coded_llr"] = jax.jit(fn)
-        return np.asarray(self._jit_cache["coded_llr"](rx, jnp.int32(start)))
+        key = "coded_llr_sfo" if sfo_correct else "coded_llr"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return np.asarray(self._jit_cache[key](rx, jnp.int32(start)))
+
+    def joint_clock_offset(self, receptions) -> float:
+        """One shared δ̂ from ALL receptions of a frame (HARQ: the copies
+        ride the same physical TX/RX clock pair, so their clock offset is
+        one unknown). Coarse stage: the SC per-bin correlations of every
+        reception sum COHERENTLY before the phase read (√R estimator
+        gain — `sc_clock_offset(pool=True)`); fine stage: one δ₀-warped
+        demod of the stacked receptions, pilot slopes fitted per row,
+        combined by median. Reliable several dB below the single-
+        reception estimator's working range."""
+        from ..ops.sfo import sc_clock_offset, slope_clock_offset
+
+        cuts = []
+        for rx, start in receptions:
+            r32 = jnp.asarray(np.asarray(rx, dtype=np.float32))
+            if "cut_products" not in self._jit_cache:
+                self._jit_cache["cut_products"] = jax.jit(self._cut_frame)
+            syms, sc_win, roll = self._jit_cache["cut_products"](
+                r32, jnp.int32(start))
+            cuts.append((np.asarray(syms),
+                         None if sc_win is None else np.asarray(sc_win),
+                         np.asarray(roll)))
+        syms_b = jnp.asarray(np.stack([c[0] for c in cuts]))
+        roll_b = jnp.asarray(np.stack([c[2] for c in cuts]))
+        sc_b = (jnp.asarray(np.stack([c[1] for c in cuts]))
+                if cuts[0][1] is not None else None)
+
+        def joint(sy, sc, ro):
+            d0 = (sc_clock_offset(self.cfg, sc, pool=True)
+                  if sc is not None else jnp.float32(0.0))
+            _, (_, _, slope_a, _, _, _) = self._demod_syms(
+                sy, delta=d0, roll=ro)
+            return jnp.median(slope_clock_offset(self.cfg, slope_a))
+
+        key = f"joint_delta_{len(cuts)}_{sc_b is not None}"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(joint, static_argnames=())
+        if sc_b is None:
+            # no SC symbol in this config: fine stage only
+            if "joint_delta_nosc" not in self._jit_cache:
+                self._jit_cache["joint_delta_nosc"] = jax.jit(
+                    lambda sy, ro: joint(sy, None, ro))
+            return float(self._jit_cache["joint_delta_nosc"](syms_b, roll_b))
+        return float(self._jit_cache[key](syms_b, sc_b, roll_b))
 
     def decode_stream_llr(self, llr: np.ndarray) -> DecodeResult:
         """Host API: descrambled coded-STREAM LLRs (raw_bits_per_frame,)

@@ -29,7 +29,8 @@ __all__ = [
 ]
 
 
-def chase_combine(modem: Modem, receptions) -> DecodeResult:
+def chase_combine(modem: Modem, receptions,
+                  sfo: str = "off") -> DecodeResult:
     """HARQ chase combining: soft-combine repeated receptions of the SAME
     logical frame — e.g. a CRC-failed original and a CRC-failed
     retransmission — into one decode that succeeds where each alone fails.
@@ -42,13 +43,37 @@ def chase_combine(modem: Modem, receptions) -> DecodeResult:
     The pairing is the caller's (ARQ layer's) knowledge: the receiver
     knows which seqs it NACKed and in what order the retransmission
     carries them (`examples/arq_file_transfer.py`).
+
+    sfo: 'off' | 'on' — 'on' estimates ONE shared clock offset JOINTLY
+    across the receptions (same physical TX/RX clock pair → one unknown;
+    `Modem.joint_clock_offset` pools the SC correlations coherently, the
+    √R gain that per-reception estimation below the cliff cannot get)
+    and demodulates every copy through the δ̂-warped DFT. Use it whenever
+    `decode` needed sfo for these recordings; if the corrected
+    combination still fails CRC, the uncorrected sum is tried as a
+    fallback (harmless when δ was truly ~0).
     """
+    receptions = list(receptions)
+    if not receptions:
+        raise ValueError("chase_combine needs at least one reception")
+
+    def combined(delta):
+        total = None
+        for rx, start in receptions:
+            llr = modem.coded_llrs(np.asarray(rx), int(start), delta=delta)
+            total = llr if total is None else total + llr
+        return modem.decode_stream_llr(total)
+
+    if sfo == "on":
+        res = combined(modem.joint_clock_offset(receptions))
+        if res.crc_ok:
+            return res
+        plain = combined(0.0)      # δ=0 warp ≡ plain demod
+        return plain if plain.crc_ok else res
     total = None
     for rx, start in receptions:
         llr = modem.coded_llrs(np.asarray(rx), int(start))
         total = llr if total is None else total + llr
-    if total is None:
-        raise ValueError("chase_combine needs at least one reception")
     return modem.decode_stream_llr(total)
 
 

@@ -84,7 +84,8 @@ def _sc_half_tables(cfg: ModemConfig):
             q.astype(np.float32), guard)
 
 
-def sc_clock_offset(cfg: ModemConfig, sc_win: jnp.ndarray) -> jnp.ndarray:
+def sc_clock_offset(cfg: ModemConfig, sc_win: jnp.ndarray,
+                    pool: bool = False) -> jnp.ndarray:
     """Coarse SFO from the SC symbol window. sc_win (..., n_fft) → δ̂ (...,).
 
     δ̂ is the fractional clock offset (δ̂·1e6 = ppm). Sign convention matches
@@ -92,6 +93,14 @@ def sc_clock_offset(cfg: ModemConfig, sc_win: jnp.ndarray) -> jnp.ndarray:
     waveform is compressed and per-bin phase advances. Accuracy ~±10% of δ
     plus a noise floor of ~±100 ppm at 18 dB SNR — a coarse stage whose
     residual lands inside `slope_clock_offset`'s range.
+
+    `pool=True` coherently sums the per-bin correlation ρ across ALL
+    leading axes before the phase extraction → one scalar δ̂. For
+    repeated receptions of a frame through the SAME physical clock pair
+    (HARQ chase combining) the ρ phases align across receptions, so
+    pooling buys the full √R estimator-SNR gain — per-reception estimates
+    at deep-below-cliff SNR fail nonlinearly (sign flips), which no
+    after-the-fact median can repair.
     """
     C, S, q, guard = _sc_half_tables(cfg)
     half = cfg.n_fft // 2
@@ -103,6 +112,8 @@ def sc_clock_offset(cfg: ModemConfig, sc_win: jnp.ndarray) -> jnp.ndarray:
     y1 = jax.lax.complex(h1 @ Cj, -(h1 @ Sj))
     y2 = jax.lax.complex(h2 @ Cj, -(h2 @ Sj))
     rho = jnp.conj(y1) * y2                                      # (..., nq)
+    if pool:
+        rho = jnp.sum(rho.reshape(-1, rho.shape[-1]), axis=0)    # (nq,)
     # unwrap-free phase slope over q: coarse from adjacent increments
     # (occupied q are 1 apart: full-grid even bins are 2 apart), refined on
     # a quarter-band baseline — the same ladder idea as pilot tracking

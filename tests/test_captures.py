@@ -26,13 +26,7 @@ def test_manifest_format_matches_wire_format():
     assert MANIFEST["format"] == WIRE_FORMAT
 
 
-def _capture_config(cap):
-    """Manifest entry → config: the optional `bit_loading` field is the
-    out-of-band table agreement of SPEC §5b, exactly as deployed."""
-    cfg = preset(cap["preset"])
-    if "bit_loading" in cap:
-        cfg = cfg.replace(bit_loading=tuple(cap["bit_loading"]))
-    return cfg
+from gf3x.utils.captures import capture_config as _capture_config
 
 
 @pytest.mark.parametrize("cap", MANIFEST["captures"], ids=lambda c: c["wav"])

@@ -49,6 +49,35 @@ def test_combining_gain_is_cumulative():
     assert res.crc_ok and res.payload == payload
 
 
+def test_combining_with_clock_offset_needs_joint_sfo():
+    """+800 ppm (beyond the plain receiver's range) at 0.5 dB (below the
+    cliff): single decodes fail on SNR, sfo='off' combining fails on
+    phase damage, AND per-reception δ̂ estimation fails nonlinearly at
+    this SNR (sign flips) — only the JOINT estimate (coherent SC pooling
+    across receptions, `Modem.joint_clock_offset`) recovers the frame."""
+    from gf3x.channel import resample_sfo
+
+    m = Modem(preset("gf3"))
+    rng = np.random.default_rng(8)
+    payload = bytes(rng.integers(0, 256, 400, dtype=np.uint8))
+    wav = m.encode(payload, "k.bin")
+    rcp = []
+    for seed in (31, 32):
+        r = np.random.default_rng(seed)
+        rx = resample_sfo(
+            awgn(delay_gain(wav.astype(np.float64), 300, 1.0,
+                            total_len=wav.size + 3000), 0.5, r), 800.0)
+        rcp.append((rx.astype(np.float32), 300))
+    assert not m.decode(rcp[0][0], start=300, sfo="on").crc_ok   # SNR too low
+    assert not chase_combine(m, rcp, sfo="off").crc_ok           # phase damage
+    # the joint estimate lands near the true offset where the
+    # per-reception two-pass estimator returns garbage at this SNR
+    d = m.joint_clock_offset(rcp)
+    assert abs(d * 1e6 - 800.0) < 250.0
+    res = chase_combine(m, rcp, sfo="on")
+    assert res.crc_ok and res.payload == payload
+
+
 def test_single_reception_combine_matches_decode():
     """Degenerate case: combining one clean reception equals the normal
     decode (same payload bits out)."""

@@ -34,10 +34,20 @@ def test_resample_sfo_negative_drift_keeps_tail():
     clock ratio, and the resampled tail still carries the signal."""
     fs = 44100
     x = np.sin(2 * np.pi * 1000.0 * np.arange(10 * fs) / fs)
+    for ppm, drift in [(-6000.0, -1000.0), (0.0, -2000.0),
+                       (6000.0, 1000.0), (-11000.0, 0.0)]:
+        y = resample_sfo(x, ppm, fs=fs, drift_ppm_per_s=drift)
+        # the output grid must run right up to the end of the input: the
+        # NEXT output sample past the returned length would map beyond
+        # len(x)-1 (i.e. nothing satisfying t <= end was dropped)
+        n = len(y)
+        dur = n / fs
+        t_next = (n + 1) * (1.0 + 1e-6 * (ppm + drift * dur / 2.0))
+        assert t_next > len(x) - 1, (ppm, drift, n)
+        assert np.std(y[-fs // 100:]) > 0.5     # tail is signal, not pad
     y = resample_sfo(x, -6000.0, fs=fs, drift_ppm_per_s=-1000.0)
     # mean delta ≈ -6000 - 1000·(10/2) = -11000 ppm → ~1.1 % MORE samples
-    assert len(y) > 1.0105 * len(x)
-    assert np.std(y[-fs // 10:]) > 0.5          # tail is signal, not pad
+    assert len(y) > 1.0109 * len(x)
     # the constant branch agrees with the time-varying branch at drift 0
     y0 = resample_sfo(x, -6000.0, fs=fs)
     y1 = resample_sfo(x, -6000.0, fs=fs, drift_ppm_per_s=0.0,

@@ -57,12 +57,11 @@ def main() -> int:
     # ---- 1. frozen captures decode bit-exact on hardware
     fixtures = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
     manifest = json.loads((fixtures / "manifest.json").read_text())
+    from gf3x.utils.captures import capture_config
+
     for cap in manifest["captures"]:
         rx, _ = read_wav(fixtures / cap["wav"])
-        cfg_c = preset(cap["preset"])
-        if "bit_loading" in cap:   # SPEC §5b out-of-band table agreement
-            cfg_c = cfg_c.replace(bit_loading=tuple(cap["bit_loading"]))
-        res = decode_stream(Modem(cfg_c), rx)
+        res = decode_stream(Modem(capture_config(cap)), rx)
         ok = (res.complete
               and hashlib.sha256(res.payload).hexdigest() == cap["payload_sha256"])
         check(f"capture:{cap['wav']}", ok,
