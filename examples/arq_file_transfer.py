@@ -1,22 +1,22 @@
 #!/usr/bin/env python
-"""ARQ session walkthrough: selective-repeat file transfer over a lossy
-half-duplex acoustic link, with the FEEDBACK channel also carried by the
-modem (reference L7 recovery flow — SURVEY.md §6.3 failure
-detection/recovery: CRC + seq/total + selective retransmission —
-composed into a full protocol loop).
+"""ARQ session walkthrough: selective-repeat + HARQ file transfer over a
+lossy half-duplex acoustic link, with the FEEDBACK channel also carried
+by the modem (reference L7 recovery flow — SURVEY.md §6.3: CRC +
+seq/total + selective retransmission, composed into a protocol by the
+`gf3x.models.arq` state machines).
 
 Forward link: data frames through a room channel where random bursts
-obliterate entire frames. Reverse link: the receiver encodes its NACK
-list (missing seq numbers) as a tiny gf3 frame and "plays" it back
-through its own noisy channel; the transmitter decodes it and re-sends
-exactly those frames (`encode_frames`, the CLI `retransmit` machinery).
-`merge_streams` reassembles across rounds. Terminates when the receiver
-ACKs complete (empty NACK) or after max rounds.
+obliterate entire frames. Reverse link: the receiver's NACK
+(`ArqReceiver.nack`, serialized by `encode_nack`) is encoded as a tiny
+gf3 frame and "played" back through its own noisy channel; the
+transmitter decodes it and answers with exactly those frames
+(`ArqSender.retransmit`). The receiver keeps every CRC-failed reception
+and chase-combines repeated copies per seq, so even a damaged
+retransmission can complete the transfer.
 
     python examples/arq_file_transfer.py [outdir]
 """
 
-import json
 import sys
 from pathlib import Path
 
@@ -31,8 +31,8 @@ import numpy as np
 from gf3x import Modem, preset
 from gf3x.channel import awgn, delay_gain, multipath, room_impulse_response
 from gf3x.io import write_wav
-from gf3x.models.stream import (chase_combine, decode_stream, encode_file,
-                                encode_frames, frame_capacity, merge_streams)
+from gf3x.models.arq import ArqReceiver, ArqSender, decode_nack, encode_nack
+from gf3x.models.stream import decode_stream, frame_capacity
 
 
 def air(wav, rir, rng, snr_db=16.0, kill_spans=()):
@@ -56,62 +56,52 @@ def main(outdir: str = "demo_out"):
 
     payload = bytes(rng.integers(0, 256, 4 * frame_capacity(modem, "data.bin"),
                                  dtype=np.uint8))
+    tx = ArqSender(modem, payload, "data.bin")
+    rx = ArqReceiver(modem)
 
     # ---- round 0: full transmission; two frames burst-destroyed in the air
-    wav = encode_file(modem, payload, "data.bin")
     kill = [(int(1.2 * fl), int(1.5 * fl)), (int(3.3 * fl), int(3.6 * fl))]
-    rx = air(wav, rir, rng, kill_spans=kill)
-    write_wav(out / "arq_round0.wav", rx, modem.cfg.fs)
-    got = decode_stream(modem, rx)
+    rx0 = air(tx.initial(), rir, rng, kill_spans=kill)
+    write_wav(out / "arq_round0.wav", rx0, modem.cfg.fs)
+    got = rx.feed(rx0)
     print(f"round 0: {sum(r.crc_ok for r in got.frames)}/{got.starts.size} "
-          f"frames ok, missing {got.missing}")
+          f"frames ok, nack {rx.nack()}")
 
-    n_total = -(-len(payload) // frame_capacity(modem, "data.bin"))
     rounds = 0
     while not got.complete and rounds < 4:
         rounds += 1
-        # ---- reverse link: NACK list as a real modem frame. Total loss
-        # (zero CRC-ok frames) leaves missing=[] with complete=False — the
-        # receiver can't know the frame count it never saw, so it NACKs
-        # "all" and the transmitter (who knows n_total) resends everything
-        nack_val = got.missing if got.missing else "all"
-        nack = json.dumps({"nack": nack_val, "file": got.filename}).encode()
-        fb_rx = air(modem.encode(nack, "nack.json"), rir, rng, snr_db=14.0)
+        # ---- reverse link: the NACK as a real modem frame
+        fb_rx = air(modem.encode(encode_nack(rx.nack(), "data.bin"),
+                                 "nack.json"), rir, rng, snr_db=14.0)
         fb = decode_stream(modem, fb_rx)
         assert fb.complete, "feedback frame lost — ARQ would retry it"
-        req = json.loads(fb.payload)["nack"]
-        if req == "all":
-            req = list(range(n_total))
-        print(f"round {rounds}: transmitter decoded NACK for frames {req}")
+        req, _ = decode_nack(fb.payload)
+        print(f"round {rounds}: transmitter decoded NACK {req}")
 
         # ---- selective retransmission of exactly the NACKed frames
-        retx = encode_frames(modem, payload, req, "data.bin")
-        rx2 = air(retx, rir, rng)
-        write_wav(out / f"arq_round{rounds}.wav", rx2, modem.cfg.fs)
-        got = merge_streams(got, decode_stream(modem, rx2))
-        print(f"round {rounds}: merged — missing now {got.missing}")
+        seqs = list(range(tx.n_frames)) if req == "all" else req
+        rx1 = air(tx.retransmit(req), rir, rng)
+        write_wav(out / f"arq_round{rounds}.wav", rx1, modem.cfg.fs)
+        got = rx.feed(rx1, nacked=seqs)
+        print(f"round {rounds}: merged — nack now {rx.nack()}")
 
     assert got.complete and got.payload == payload
     print(f"transfer complete after {rounds} retransmission round(s): "
-          f"{len(payload)} B bit-exact "
-          f"({got.starts.size} forward frames decoded in total)")
+          f"{len(payload)} B bit-exact")
 
-    # ---- HARQ upgrade: when a RETRANSMISSION also arrives damaged, the
-    # two failed copies still carry enough soft information together —
-    # chase combining sums their coded LLRs (~+3 dB) instead of wasting
-    # the failed receptions
-    one = modem.encode(payload[: frame_capacity(modem, "x")], "x")
-    bad = []
-    for seed in (21, 22):
-        r = np.random.default_rng(seed)
-        rx1 = awgn(delay_gain(one, 250, 1.0, total_len=one.size + 2000),
-                   -0.5, r)
-        bad.append((rx1, 250))
-    singles = [modem.decode(rx, start=s, sfo="off").crc_ok for rx, s in bad]
-    combined = chase_combine(modem, bad)
-    print(f"chase combining: single decodes crc_ok={singles} → "
-          f"combined crc_ok={combined.crc_ok} (two failed copies, one frame)")
-    assert not any(singles) and combined.crc_ok
+    # ---- HARQ at work: a fresh two-round session where EVERY single
+    # decode fails (0 dB), yet the stored failed copies combine per seq
+    # and the transfer completes with no third round
+    tx2 = ArqSender(modem, payload[: 2 * frame_capacity(modem, "h.bin")],
+                    "h.bin")
+    rx2 = ArqReceiver(modem, sfo="off")
+    got2 = rx2.feed(air(tx2.initial(), rir, rng, snr_db=0.0))
+    assert not any(f.crc_ok for f in got2.frames) and rx2.nack() == "all"
+    got2 = rx2.feed(air(tx2.retransmit("all"), rir, rng, snr_db=0.0),
+                    nacked=list(range(tx2.n_frames)))
+    print(f"HARQ: two all-failed rounds at 0 dB → complete={got2.complete} "
+          "(chase combining closed every frame)")
+    assert got2.complete and got2.payload == tx2.payload
 
 
 if __name__ == "__main__":

@@ -1,0 +1,153 @@
+"""Selective-repeat ARQ with HARQ chase combining — the recovery
+subsystem (SURVEY.md §6.3: CRC + seq/total + selective retransmission)
+promoted from a per-app pattern to library state machines.
+
+`ArqReceiver` accumulates every reception of every frame — including the
+CRC-failed ones, which carry most of a frame's soft information — and
+combines repeated failed copies automatically (`chase_combine`), so a
+damaged retransmission still completes the transfer instead of forcing
+another round. `ArqSender` answers NACKs with exactly the requested
+frames. The feedback channel is the caller's: any byte pipe works,
+including the modem itself (examples/arq_file_transfer.py carries the
+NACK list as a gf3 frame).
+
+Seq attribution for CRC-failed receptions (whose headers are unreadable)
+is positional: an initial transmission carries seqs 0..n-1 in order, a
+retransmission carries the NACKed list in order — the transmit-order
+contract of `encode_file`/`encode_frames`. Sync-detected starts map to
+those positions sorted.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .modem import Modem
+from .stream import (StreamResult, chase_combine, decode_stream, encode_file,
+                     encode_frames, frame_capacity, merge_streams)
+
+__all__ = ["ArqSender", "ArqReceiver", "encode_nack", "decode_nack"]
+
+
+def encode_nack(missing, filename: str = "") -> bytes:
+    """Serialize a NACK for any feedback pipe. `missing` is the seq list,
+    or the string "all" when the receiver decoded nothing and cannot know
+    the frame count (`ArqReceiver.nack`)."""
+    return json.dumps({"nack": missing, "file": filename}).encode()
+
+
+def decode_nack(payload: bytes):
+    doc = json.loads(payload)
+    return doc["nack"], doc.get("file", "")
+
+
+@dataclass
+class ArqSender:
+    """Transmit side: the initial transmission, then NACK-driven rounds."""
+
+    modem: Modem
+    payload: bytes
+    filename: str = ""
+    gap_s: float = 0.05
+
+    @property
+    def n_frames(self) -> int:
+        return max(1, -(-len(self.payload)
+                        // frame_capacity(self.modem, self.filename)))
+
+    def initial(self) -> np.ndarray:
+        return encode_file(self.modem, self.payload, self.filename,
+                           gap_s=self.gap_s)
+
+    def retransmit(self, nack) -> np.ndarray:
+        """Waveform answering a NACK ("all" or a seq list, `decode_nack`)."""
+        seqs = list(range(self.n_frames)) if nack == "all" else list(nack)
+        return encode_frames(self.modem, self.payload, seqs, self.filename,
+                             gap_s=self.gap_s)
+
+
+@dataclass
+class ArqReceiver:
+    """Receive side: feed each round's recording; failed receptions are
+    kept and combined across rounds."""
+
+    modem: Modem
+    sfo: str = "auto"
+    gap_s: float = 0.05            # the sender's inter-frame gap (protocol
+                                   # constant; position stride = frame+gap)
+    result: StreamResult = field(
+        default_factory=lambda: StreamResult(payload=None, filename="",
+                                             complete=False))
+    # seq → [(recording, start), ...]: every reception incl. CRC-failed
+    _receptions: dict = field(default_factory=dict)
+
+    def feed(self, recording: np.ndarray,
+             nacked: Optional[list] = None) -> StreamResult:
+        """Process one round. `nacked`: the seq list this round retransmits
+        (in order), None for the initial full transmission."""
+        rec = np.asarray(recording, dtype=np.float32)
+        got = decode_stream(self.modem, rec, sfo=self.sfo)
+        order = None if nacked is None else list(nacked)
+        # transmit-POSITION attribution. Plain enumeration order breaks
+        # the moment the sync misses a frame (a burst that ate its chirp):
+        # every later frame would shift down one slot. Any CRC-ok frame is
+        # an ANCHOR (its header seq pins its position); other detections
+        # get position = anchor + round(Δstart / stride), stride = the
+        # protocol's frame+gap spacing. No anchor → plain enumeration.
+        cfg = self.modem.cfg
+        stride = cfg.frame_len + int(round(self.gap_s * cfg.fs))
+        n = got.starts.size
+        pos = list(range(n))
+        for i, f in enumerate(got.frames):
+            if f.crc_ok:
+                ap = (order.index(f.seq) if order is not None
+                      and f.seq in order else f.seq)
+                pos = [ap + round((int(got.starts[j]) - int(got.starts[i]))
+                                  / stride) for j in range(n)]
+                break
+        for i in range(n):
+            p = pos[i]
+            if p < 0 or (order is not None and p >= len(order)):
+                continue            # outside this round's transmit order
+            seq = order[p] if order is not None else p
+            self._receptions.setdefault(int(seq), []).append(
+                (rec, int(got.starts[i])))
+        self.result = merge_streams(self.result, got)
+        self._try_combining()
+        return self.result
+
+    def _try_combining(self) -> None:
+        """Chase-combine every still-missing seq with ≥2 stored
+        receptions; accept a combination only when its CRC passes and its
+        decoded seq matches the slot it was attributed to (a mis-sync or
+        mis-attribution then cannot corrupt the transfer)."""
+        # "still missing" must come from the stored receptions, not
+        # result.missing: after a TOTAL-loss round merge_streams cannot
+        # know the frame count and reports missing=[] with complete=False
+        decoded = {f.seq for f in self.result.frames if f.crc_ok}
+        for seq in sorted(self._receptions):
+            rcps = self._receptions[seq]
+            if seq in decoded or len(rcps) < 2:
+                continue
+            res = chase_combine(self.modem, rcps)
+            if not res.crc_ok and self.sfo != "off":
+                res = chase_combine(self.modem, rcps, sfo="on")
+            if res.crc_ok and res.seq == seq:
+                single = StreamResult(
+                    payload=res.payload, filename=res.filename,
+                    complete=False, frames=[res],
+                    starts=np.asarray([rcps[0][1]], dtype=np.int64))
+                self.result = merge_streams(self.result, single)
+
+    def nack(self):
+        """What to send back: [] when complete, the missing seq list, or
+        "all" when nothing decoded yet (frame count unknown)."""
+        if self.result.complete:
+            return []
+        if not any(f.crc_ok for f in self.result.frames):
+            return "all"
+        return self.result.missing
