@@ -818,16 +818,17 @@ class Modem:
                 sy, delta=d0, roll=ro)
             return jnp.median(slope_clock_offset(self.cfg, slope_a))
 
-        key = f"joint_delta_{len(cuts)}_{sc_b is not None}"
-        if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(joint, static_argnames=())
+        # one cached wrapper per variant; jit itself retraces per reception
+        # count (a fresh jax.jit each call would lose every prior trace)
         if sc_b is None:
             # no SC symbol in this config: fine stage only
             if "joint_delta_nosc" not in self._jit_cache:
                 self._jit_cache["joint_delta_nosc"] = jax.jit(
                     lambda sy, ro: joint(sy, None, ro))
             return float(self._jit_cache["joint_delta_nosc"](syms_b, roll_b))
-        return float(self._jit_cache[key](syms_b, sc_b, roll_b))
+        if "joint_delta" not in self._jit_cache:
+            self._jit_cache["joint_delta"] = jax.jit(joint)
+        return float(self._jit_cache["joint_delta"](syms_b, sc_b, roll_b))
 
     def decode_stream_llr(self, llr: np.ndarray) -> DecodeResult:
         """Host API: descrambled coded-STREAM LLRs (raw_bits_per_frame,)
