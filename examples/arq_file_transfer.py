@@ -79,10 +79,9 @@ def main(outdir: str = "demo_out"):
         print(f"round {rounds}: transmitter decoded NACK {req}")
 
         # ---- selective retransmission of exactly the NACKed frames
-        seqs = list(range(tx.n_frames)) if req == "all" else req
         rx1 = air(tx.retransmit(req), rir, rng)
         write_wav(out / f"arq_round{rounds}.wav", rx1, modem.cfg.fs)
-        got = rx.feed(rx1, nacked=seqs)
+        got = rx.feed(rx1, nacked=req)
         print(f"round {rounds}: merged — nack now {rx.nack()}")
 
     assert got.complete and got.payload == payload
@@ -98,7 +97,7 @@ def main(outdir: str = "demo_out"):
     got2 = rx2.feed(air(tx2.initial(), rir, rng, snr_db=0.0))
     assert not any(f.crc_ok for f in got2.frames) and rx2.nack() == "all"
     got2 = rx2.feed(air(tx2.retransmit("all"), rir, rng, snr_db=0.0),
-                    nacked=list(range(tx2.n_frames)))
+                    nacked="all")
     print(f"HARQ: two all-failed rounds at 0 dB → complete={got2.complete} "
           "(chase combining closed every frame)")
     assert got2.complete and got2.payload == tx2.payload

@@ -64,8 +64,12 @@ class ArqSender:
                            gap_s=self.gap_s)
 
     def retransmit(self, nack) -> np.ndarray:
-        """Waveform answering a NACK ("all" or a seq list, `decode_nack`)."""
+        """Waveform answering a NACK ("all" or a seq list, `decode_nack`).
+        An empty NACK (the transfer completed) yields an empty waveform —
+        nothing to send — rather than an opaque concatenate error."""
         seqs = list(range(self.n_frames)) if nack == "all" else list(nack)
+        if not seqs:
+            return np.zeros(0, dtype=np.float32)
         return encode_frames(self.modem, self.payload, seqs, self.filename,
                              gap_s=self.gap_s)
 
@@ -82,16 +86,22 @@ class ArqReceiver:
     result: StreamResult = field(
         default_factory=lambda: StreamResult(payload=None, filename="",
                                              complete=False))
-    # seq → [(recording, start), ...]: every reception incl. CRC-failed
+    # seq → [(frame window, start-within-window), ...] for CRC-FAILED
+    # receptions only (decoded frames need no soft copies; windows bound
+    # memory to O(missing frames), not O(session recordings))
     _receptions: dict = field(default_factory=dict)
+    # seq → reception count at the last combine attempt (a failed
+    # combination is deterministic: never re-run it on identical inputs)
+    _attempted: dict = field(default_factory=dict)
 
     def feed(self, recording: np.ndarray,
              nacked: Optional[list] = None) -> StreamResult:
         """Process one round. `nacked`: the seq list this round retransmits
-        (in order), None for the initial full transmission."""
+        (in order) per the NACK contract — a seq list or "all"; None (or
+        "all") means the round carries every frame in seq order."""
         rec = np.asarray(recording, dtype=np.float32)
         got = decode_stream(self.modem, rec, sfo=self.sfo)
-        order = None if nacked is None else list(nacked)
+        order = None if nacked is None or nacked == "all" else list(nacked)
         # transmit-POSITION attribution. Plain enumeration order breaks
         # the moment the sync misses a frame (a burst that ate its chirp):
         # every later frame would shift down one slot. Any CRC-ok frame is
@@ -101,21 +111,38 @@ class ArqReceiver:
         cfg = self.modem.cfg
         stride = cfg.frame_len + int(round(self.gap_s * cfg.fs))
         n = got.starts.size
-        pos = list(range(n))
+        anchors = []                 # (detection index, transmit position)
         for i, f in enumerate(got.frames):
             if f.crc_ok:
                 ap = (order.index(f.seq) if order is not None
                       and f.seq in order else f.seq)
-                pos = [ap + round((int(got.starts[j]) - int(got.starts[i]))
-                                  / stride) for j in range(n)]
-                break
+                anchors.append((i, ap))
+        if len(anchors) >= 2:
+            # two anchors measure the stride directly — the sender's gap
+            # never has to be re-stated on this side
+            (i0, p0), (i1, p1) = anchors[0], anchors[-1]
+            if p1 != p0:
+                stride = (int(got.starts[i1]) - int(got.starts[i0])) / (p1 - p0)
+        if anchors:
+            ai, ap = anchors[0]
+            pos = [ap + round((int(got.starts[j]) - int(got.starts[ai]))
+                              / stride) for j in range(n)]
+        else:
+            pos = list(range(n))
         for i in range(n):
             p = pos[i]
             if p < 0 or (order is not None and p >= len(order)):
                 continue            # outside this round's transmit order
-            seq = order[p] if order is not None else p
-            self._receptions.setdefault(int(seq), []).append(
-                (rec, int(got.starts[i])))
+            seq = int(order[p] if order is not None else p)
+            if got.frames[i].crc_ok:
+                continue            # decoded: no soft copy needed
+            # store only the frame window (start re-based to 0): all the
+            # combiner reads is rec[start : start + frame_len]
+            s0 = int(got.starts[i])
+            win = np.zeros(cfg.frame_len, np.float32)
+            seg = rec[s0: s0 + cfg.frame_len]
+            win[: seg.size] = seg
+            self._receptions.setdefault(seq, []).append((win, 0))
         self.result = merge_streams(self.result, got)
         self._try_combining()
         return self.result
@@ -130,18 +157,35 @@ class ArqReceiver:
         # know the frame count and reports missing=[] with complete=False
         decoded = {f.seq for f in self.result.frames if f.crc_ok}
         for seq in sorted(self._receptions):
-            rcps = self._receptions[seq]
-            if seq in decoded or len(rcps) < 2:
+            if seq in decoded:
+                del self._receptions[seq]          # free the soft copies
+                self._attempted.pop(seq, None)
                 continue
-            res = chase_combine(self.modem, rcps)
-            if not res.crc_ok and self.sfo != "off":
-                res = chase_combine(self.modem, rcps, sfo="on")
-            if res.crc_ok and res.seq == seq:
+            rcps = self._receptions[seq]
+            if len(rcps) < 2 or self._attempted.get(seq) == len(rcps):
+                continue                           # nothing new to try
+            self._attempted[seq] = len(rcps)
+            # full set first; then leave-one-out subsets, so ONE
+            # mis-attributed copy (no-anchor rounds fall back to plain
+            # enumeration) cannot permanently poison the seq
+            subsets = [rcps] + ([list(rcps[:k]) + list(rcps[k + 1:])
+                                 for k in range(len(rcps))]
+                                if len(rcps) > 2 else [])
+            res = None
+            for sub in subsets:
+                res = chase_combine(self.modem, sub)
+                if not res.crc_ok and self.sfo != "off":
+                    res = chase_combine(self.modem, sub, sfo="on")
+                if res.crc_ok:
+                    break
+            if res is not None and res.crc_ok and res.seq == seq:
                 single = StreamResult(
                     payload=res.payload, filename=res.filename,
                     complete=False, frames=[res],
-                    starts=np.asarray([rcps[0][1]], dtype=np.int64))
+                    starts=np.asarray([0], dtype=np.int64))
                 self.result = merge_streams(self.result, single)
+                del self._receptions[seq]
+                self._attempted.pop(seq, None)
 
     def nack(self):
         """What to send back: [] when complete, the missing seq list, or

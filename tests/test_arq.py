@@ -36,11 +36,16 @@ def test_session_completes_by_combining_two_failed_rounds():
     # stored receptions → chase combining (+3 dB) completes the transfer
     wire = encode_nack(nack, "d.bin")
     req, _ = decode_nack(wire)
+    # the NACK value round-trips into feed() verbatim ("all" included)
     got = rx.feed(_air(tx.retransmit(req), 900, seed=52, snr_db=0.0),
-                  nacked=list(range(tx.n_frames)) if req == "all" else req)
+                  nacked=req)
     assert got.complete, got.missing
     assert got.payload == payload
     assert rx.nack() == []
+    # completed transfer: an empty NACK yields an empty retransmission
+    assert tx.retransmit(rx.nack()).size == 0
+    # soft copies are released once their seqs decode
+    assert not rx._receptions
 
 
 def test_attribution_survives_sync_missed_frame():
