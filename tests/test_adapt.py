@@ -73,6 +73,29 @@ def test_loaded_batch_decode():
         assert abs(int(np.asarray(r.diag.sync_start)) - (100, 400, 800)[i]) <= 2
 
 
+def test_loaded_streaming_receiver():
+    """A bit-loaded modem through the chunked live-capture path: the
+    StreamingReceiver decodes a multi-frame loaded transfer fed in
+    odd-sized chunks (the loading table is config state, so every
+    streaming shape/bucket mechanism is untouched)."""
+    from gf3x.models.stream import StreamingReceiver, encode_file
+
+    table = tuple([2, 4] * 122 + [2])             # len 245
+    cfg = preset("gf3").replace(bit_loading=table)
+    m = Modem(cfg)
+    rng = np.random.default_rng(14)
+    payload = bytes(rng.integers(0, 256, 2500, dtype=np.uint8))
+    wav = encode_file(m, payload, "s.bin")
+    rx = awgn(delay_gain(wav, 900, 0.8, total_len=wav.size + 5000),
+              20.0, rng).astype(np.float32)
+    rcv = StreamingReceiver(m)
+    out = []
+    for a in range(0, rx.size, 30011):            # odd chunk size
+        out += rcv.feed(rx[a: a + 30011])
+    res = rcv.result()
+    assert res.complete and res.payload == payload
+
+
 def test_probe_loading_on_shaped_channel():
     """A harsh speaker rolloff (8 kHz cut against a 13 kHz band) must drive
     the upper bins to fewer/zero bits, keep the clean midband loaded, and
