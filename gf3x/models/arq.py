@@ -114,8 +114,16 @@ class ArqReceiver:
         anchors = []                 # (detection index, transmit position)
         for i, f in enumerate(got.frames):
             if f.crc_ok:
-                ap = (order.index(f.seq) if order is not None
-                      and f.seq in order else f.seq)
+                if order is not None:
+                    if f.seq not in order:
+                        # a decodable frame from OUTSIDE this round (live-
+                        # capture overlap, stale transmission): its seq is
+                        # meaningless as a round position — anchoring on it
+                        # would corrupt the stride and every attribution
+                        continue
+                    ap = order.index(f.seq)
+                else:
+                    ap = f.seq
                 anchors.append((i, ap))
         if len(anchors) >= 2:
             # two anchors measure the stride directly — the sender's gap
@@ -129,10 +137,19 @@ class ArqReceiver:
                               / stride) for j in range(n)]
         else:
             pos = list(range(n))
+        # total frame count, once any decoded frame has revealed it: bounds
+        # "all"/initial rounds (order=None) so a spurious detection past
+        # the last frame cannot create a phantom seq that leaks memory and
+        # burns combine attempts forever
+        known_total = max((f.total for f in (self.result.frames
+                                             + list(got.frames))
+                           if f.crc_ok), default=None)
         for i in range(n):
             p = pos[i]
             if p < 0 or (order is not None and p >= len(order)):
                 continue            # outside this round's transmit order
+            if order is None and known_total is not None and p >= known_total:
+                continue
             seq = int(order[p] if order is not None else p)
             if got.frames[i].crc_ok:
                 continue            # decoded: no soft copy needed
@@ -156,7 +173,13 @@ class ArqReceiver:
         # result.missing: after a TOTAL-loss round merge_streams cannot
         # know the frame count and reports missing=[] with complete=False
         decoded = {f.seq for f in self.result.frames if f.crc_ok}
+        known_total = max((f.total for f in self.result.frames if f.crc_ok),
+                          default=None)
         for seq in sorted(self._receptions):
+            if known_total is not None and seq >= known_total:
+                del self._receptions[seq]          # phantom: past the end
+                self._attempted.pop(seq, None)
+                continue
             if seq in decoded:
                 del self._receptions[seq]          # free the soft copies
                 self._attempted.pop(seq, None)
