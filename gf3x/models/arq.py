@@ -30,7 +30,48 @@ from .modem import Modem
 from .stream import (StreamResult, chase_combine, decode_stream, encode_file,
                      encode_frames, frame_capacity, merge_streams)
 
-__all__ = ["ArqSender", "ArqReceiver", "encode_nack", "decode_nack"]
+__all__ = ["ArqSender", "ArqReceiver", "encode_nack", "decode_nack",
+           "attribute_positions"]
+
+
+def attribute_positions(starts, anchors, stride0: float) -> list:
+    """Transmit-position attribution of sync-detected frame starts.
+
+    starts: detection onsets (sorted ascending, samples); anchors:
+    [(detection index, transmit position), ...] from CRC-ok headers;
+    stride0: the protocol's nominal frame spacing (frame_len + gap).
+    Returns one transmit position per detection.
+
+    With ≥2 anchors the stride is MEASURED as the median over all anchor
+    pairs of Δstart/Δposition — robust on two axes the nominal stride is
+    not: (a) sampling-clock offset scales the on-air stride by (1+δ)
+    (±800 ppm drifts the nominal rule ~25 samples/frame — harmless per
+    round() but measured exactly here for free), and (b) one mis-refined
+    anchor start (first-arrival latching a reflection sits up to −cp
+    early, ops/sync.py `_first_arrival`) skews a first-to-last two-point
+    fit by err/Δp for EVERY attribution, which flips round() on transfers
+    longer than ~stride/(2·err) frames; the pairwise median tolerates any
+    minority of bad anchors. The base offset is likewise the median over
+    anchors of (start − position·stride). A measured stride below half
+    the nominal is rejected (frames cannot overlap that much — it means
+    the anchors themselves are corrupt) in favor of the nominal."""
+    n = len(starts)
+    if not anchors:
+        return list(range(n))
+    stride = stride0
+    ests = [
+        (int(starts[ib]) - int(starts[ia])) / (pb - pa)
+        for k, (ia, pa) in enumerate(anchors)
+        for ib, pb in anchors[k + 1:]
+        if pb != pa
+    ]
+    if ests:
+        med = float(np.median(ests))
+        if med > 0.5 * stride0:
+            stride = med
+    base = float(np.median([int(starts[i]) - p * stride
+                            for i, p in anchors]))
+    return [round((int(starts[j]) - base) / stride) for j in range(n)]
 
 
 def encode_nack(missing, filename: str = "") -> bytes:
@@ -125,18 +166,7 @@ class ArqReceiver:
                 else:
                     ap = f.seq
                 anchors.append((i, ap))
-        if len(anchors) >= 2:
-            # two anchors measure the stride directly — the sender's gap
-            # never has to be re-stated on this side
-            (i0, p0), (i1, p1) = anchors[0], anchors[-1]
-            if p1 != p0:
-                stride = (int(got.starts[i1]) - int(got.starts[i0])) / (p1 - p0)
-        if anchors:
-            ai, ap = anchors[0]
-            pos = [ap + round((int(got.starts[j]) - int(got.starts[ai]))
-                              / stride) for j in range(n)]
-        else:
-            pos = list(range(n))
+        pos = attribute_positions(got.starts, anchors, stride)
         # total frame count, once any decoded frame has revealed it: bounds
         # "all"/initial rounds (order=None) so a spurious detection past
         # the last frame cannot create a phantom seq that leaks memory and

@@ -90,6 +90,93 @@ def test_attribution_survives_sync_missed_frame():
     assert got.payload == payload
 
 
+def test_attribute_positions_mis_refined_anchor():
+    """One anchor whose measured start is −cp early (first-arrival latched
+    a reflection) must not skew the stride for every attribution. The
+    legacy FIRST-to-LAST two-point fit fails this whenever the corrupt
+    anchor is an endpoint: its error err/Δp leaks into every position and
+    flips round() once (err/Δp)·|p − p_ref| exceeds stride/2. The
+    pairwise-median stride + median base are exact for any minority of
+    corrupt anchors. (Exactly-two-anchor rounds stay inherently ambiguous
+    — a −256-early anchor is indistinguishable from a 256-longer gap —
+    so no assertion is possible there.)"""
+    from gf3x.models.arq import attribute_positions
+
+    stride = 31_385                       # gf3 frame_len + 0.05 s gap
+    n = 80
+    starts = np.asarray([400 + p * stride for p in range(n)])
+
+    # dense anchors, first one mis-refined 256 samples early: the median
+    # over 190 pairs ignores the 19 contaminated ones entirely
+    bad = starts.copy()
+    bad[0] -= 256
+    anchors = [(i, i) for i in range(0, n, 4)]
+    assert attribute_positions(bad, anchors, stride) == list(range(n))
+
+    # 3 good anchors outvote 1 corrupt one (legacy first-to-last fit:
+    # stride skew 256/9 per frame ⇒ position 79 lands at 78)
+    pos = attribute_positions(bad, [(0, 0), (1, 1), (5, 5), (9, 9)], stride)
+    assert pos == list(range(n))
+
+    # duplicate detection: a second sync hit on frame 0's position wrongly
+    # anchored as frame 1 — the pair median still recovers the true stride
+    # from the two good pairs, and the duplicate itself attributes to 0
+    dup = starts.copy()
+    dup[1] = dup[0]
+    pos = attribute_positions(dup, [(0, 0), (1, 1), (2, 2)], stride)
+    assert pos[0] == 0 and pos[1] == 0 and pos[2:] == list(range(2, n))
+
+    # stride-collapse guard: with ONLY the corrupt pair, the measured
+    # stride (0) is rejected for the nominal one instead of dividing by ~0
+    pos = attribute_positions(dup, [(0, 0), (1, 1)], stride)
+    assert len(pos) == n and pos[0] == 0
+
+
+def test_attribute_positions_heavy_sfo():
+    """A round received at ±800 ppm clock offset: the true on-air stride
+    scales by (1+δ). The measured (anchor-pair median) stride tracks it
+    exactly; the nominal-stride fallback (single anchor) survives round()
+    out to the drift budget."""
+    from gf3x.models.arq import attribute_positions
+
+    stride = 31_385
+    for ppm in (800.0, -800.0):
+        scale = 1.0 + ppm * 1e-6
+        starts = np.asarray([round(200 + p * stride * scale)
+                             for p in range(40)])
+        anchors = [(3, 3), (20, 20), (31, 31)]
+        assert attribute_positions(starts, anchors, stride) == list(range(40))
+        # single anchor → nominal stride; 40 frames × 25 samples/frame of
+        # drift is still ≪ stride/2
+        assert attribute_positions(starts, [(3, 3)], stride) == list(range(40))
+
+
+def test_arq_round_through_resampled_channel():
+    """End-to-end: a retransmission round whose recording rides a +800 ppm
+    clock offset (resampled air). The sfo='auto' receive path decodes the
+    clean frames; attribution and combining complete the transfer."""
+    from gf3x.channel import resample_sfo
+
+    m = Modem(preset("gf3"))
+    rng = np.random.default_rng(21)
+    payload = bytes(rng.integers(0, 256, 2 * frame_capacity(m, "s.bin"),
+                                 dtype=np.uint8))
+    tx = ArqSender(m, payload, "s.bin")
+    rx = ArqReceiver(m)                   # sfo='auto'
+    fl = m.cfg.frame_len
+    air = _air(tx.initial(), 500, seed=71, snr_db=16.0)
+    a = 500 + fl + int(0.3 * fl)          # burst inside frame 1
+    air[a: a + m.cfg.symbol_len * 8] = rng.normal(0, 0.6,
+                                                  m.cfg.symbol_len * 8)
+    air = resample_sfo(air, 800.0, m.cfg.fs)
+    got = rx.feed(air)
+    assert not got.complete and got.missing == [1]
+    rair = resample_sfo(_air(tx.retransmit(rx.nack()), 700, seed=72,
+                             snr_db=16.0), 800.0, m.cfg.fs)
+    got = rx.feed(rair, nacked=rx.nack())
+    assert got.complete and got.payload == payload
+
+
 def test_session_plain_selective_repeat():
     """The non-combining path: one frame burst-destroyed, NACKed by seq,
     recovered by a clean retransmission of exactly that frame."""
