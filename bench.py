@@ -118,7 +118,8 @@ def hbm_bytes_per_step(cfg, T: int, B: int, search_len: int) -> dict:
 
     n_sym = cfg.n_known_symbols + cfg.n_data_symbols
     D, U = cfg.n_data_symbols, cfg.n_used
-    LP = -(-cfg.n_data_bins * cfg.bits_per_symbol // 8) * 8
+    LP = -(-cfg.n_used * cfg.bits_per_symbol // 8) * 8  # plane-major rows
+    R = cfg.n_data_bins * cfg.bits_per_symbol           # payload LLR rows
     ncw, z = cfg.n_codewords, cfg.ldpc_z
 
     from gf3x.ops.sync import bounded_mf_shape
@@ -152,7 +153,8 @@ def hbm_bytes_per_step(cfg, T: int, B: int, search_len: int) -> dict:
                   + 2 * U                # H read
                   + D * LP               # LLR write
                   + D * 8)               # diag write
-    epi = B * 4 * (2 * D * LP            # stream-layout shuffle r+w
+    epi = B * 4 * (2 * D * R             # row-perm gather + stream shuffle
+                                         # r+w (reads only payload rows)
                    + 2 * ncw * 24 * z)   # LDPC lanes layout r+w
     ldpc = B * 4 * (ncw * 24 * z * 2)    # lam in + totals out (state is VMEM)
     bits = B * (ncw * 12 * z * 2)        # info bits u8 transpose r+w

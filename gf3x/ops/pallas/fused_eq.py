@@ -14,8 +14,16 @@ dtype); `atan2` is not lowered by Mosaic, so it is implemented inline
 phase-tracking noise floor).
 
 Layouts: lanes carry the frame batch (128 per grid step), sublanes carry
-bins; the strided pilot grid (config.strided_pilots) makes pilot/data
-separation a sublane reshape.
+bins. LLR rows are emitted PLANE-MAJOR over ALL used bins — row
+p·n_used + k is bit-plane p (I-axis bits then Q-axis) of used bin k,
+pilot rows zeroed via the sign plane — NOT bin-major over data bins.
+Rationale (measured r4, B=1024): the bin-major layout needed two sublane
+shuffles per symbol (compact pilot rows out: (P,sp,L)[:,1:] reshape;
+interleave the 2m bit planes: stack+reshape) costing 0.47 ms of the
+1.03 ms kernel — Mosaic lowers both to long vreg-permute chains. The
+plane layout is shuffle-free in VMEM; the FEC epilogue folds the static
+row permutation (`stream_row_perm`) into its existing gather/transpose
+for ~free (XLA fuses an indexed read into the relayout it already does).
 """
 
 from __future__ import annotations
@@ -31,9 +39,28 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import ModemConfig, layout
 from ..constellation import pam_label_levels, qam_norm
 
-__all__ = ["fused_eq_demap_tpu", "fused_shapes_ok", "LANES"]
+__all__ = ["fused_eq_demap_tpu", "fused_shapes_ok", "stream_row_perm",
+           "plane_rows", "LANES"]
 
 LANES = 128
+
+
+def plane_rows(cfg: ModemConfig) -> int:
+    """Padded LLR row count of the plane-major kernel output: 2m bit-planes
+    × n_used bins (pilot rows included, zeroed), rounded up to sublanes."""
+    return -(-cfg.n_used * cfg.bits_per_symbol // 8) * 8
+
+
+def stream_row_perm(cfg: ModemConfig) -> np.ndarray:
+    """Static row permutation from the kernel's plane-major layout to the
+    per-symbol bin-major bit order the frame schema uses: entry ρ (stream
+    bit k_data·bps + j, I-axis bits first per bin — the `qam_demap_llr`
+    order) is the plane-layout row j·n_used + data_pos[k_data]."""
+    lay = layout(cfg)
+    bps = cfg.bits_per_symbol
+    j = np.arange(bps, dtype=np.int64)
+    return (j[None, :] * cfg.n_used
+            + lay.data_pos.astype(np.int64)[:, None]).reshape(-1)
 
 
 def _chunk_divisor(cfg: ModemConfig, LP: int) -> int:
@@ -41,15 +68,15 @@ def _chunk_divisor(cfg: ModemConfig, LP: int) -> int:
     footprint fits the 16 MB v5e stack. The footprint model (calibrated on
     hardware via tools/tpu_parity.py probes): double-buffered in/out
     windows + the unrolled body's live vectors — per symbol
-    2·(2·n_used + LP + 8) window floats plus ~(2m+3)·n_data running demap
-    vectors plus ~2·LP for the bit stack — times 128 lanes, within a 12 MB
-    budget (XLA also scopes the custom call's sub-16-MiB full operands,
-    ~3 MB at GF3 geometry). Gives dc=5 at QPSK (the measured-good r2
-    value), 2 at 16-QAM, 2 at 64-QAM; 0 when even one symbol exceeds the
+    2·(2·n_used + LP + 8) window floats plus ~(2m+3)·n_used running demap
+    vectors (the plane layout demaps every used bin) plus ~2·LP for the
+    plane stack — times 128 lanes, within a 12 MB budget (XLA also scopes
+    the custom call's sub-16-MiB full operands, ~3 MB at GF3 geometry).
+    Gives dc=4 at QPSK, 2 at 16-QAM; 0 when even one symbol exceeds the
     budget (route to the XLA twin)."""
     m = cfg.bits_per_symbol // 2
     per_sym = (2 * (2 * cfg.n_used + LP + 8)
-               + (2 * m + 3) * cfg.n_data_bins + 2 * LP) * LANES * 4
+               + (2 * m + 3) * cfg.n_used + 2 * LP) * LANES * 4
     D = cfg.n_data_symbols
     return max((d for d in range(1, D + 1)
                 if D % d == 0 and d * per_sym <= (12 << 20)), default=0)
@@ -80,7 +107,7 @@ def fused_shapes_ok(cfg: ModemConfig, B: int) -> bool:
     """
     if cfg.n_pilots < 2 or cfg.bits_per_symbol >= 6:
         return False
-    LP = -(-cfg.n_data_bins * cfg.bits_per_symbol // 8) * 8
+    LP = plane_rows(cfg)
     if _chunk_divisor(cfg, LP) == 0:
         return False
     Bp = -(-B // LANES) * LANES
@@ -140,7 +167,11 @@ def _make_kernel(cfg: ModemConfig, LP: int):
         # tpu.iota is integer-only — cast after)
         kpil = (jax.lax.broadcasted_iota(jnp.int32, (n_pil, 1), 0)
                 .astype(jnp.float32) * jnp.float32(sp))           # pilot_offset=0
-        kk = jax.lax.broadcasted_iota(jnp.int32, (n_used, 1), 0).astype(jnp.float32)
+        kki = jax.lax.broadcasted_iota(jnp.int32, (n_used, 1), 0)
+        kk = kki.astype(jnp.float32)
+        # 0.0 on pilot rows, 1.0 on data rows (pilot_offset=0): gates the
+        # EVM mean now that every used bin is demapped
+        dmask = jnp.where(kki % sp == 0, 0.0, 1.0).astype(jnp.float32)
         pvr = pv_ref[0]                                           # (P, 1)
         pvi = pv_ref[1]
         # several data symbols per grid step (static unroll): one-symbol
@@ -148,9 +179,9 @@ def _make_kernel(cfg: ModemConfig, LP: int):
         # chunking cut the kernel 0.85 → ~0.4 ms at B=1024
         for s in range(y_ref.shape[0]):
             _one_symbol(y_ref[s, 0], y_ref[s, 1], h_ref, nv_ref, pvr, pvi,
-                        kpil, kk, sign_ref, llr_ref, diag_ref, s)
+                        kpil, kk, dmask, sign_ref, llr_ref, diag_ref, s)
 
-    def _one_symbol(yr, yi, h_ref, nv_ref, pvr, pvi, kpil, kk,
+    def _one_symbol(yr, yi, h_ref, nv_ref, pvr, pvi, kpil, kk, dmask,
                     sign_ref, llr_ref, diag_ref, s):
         hr, hi = h_ref[0], h_ref[1]
         h2 = hr * hr + hi * hi
@@ -194,10 +225,10 @@ def _make_kernel(cfg: ModemConfig, LP: int):
         er2 = er * cp_ + ei * sp_
         ei2 = ei * cp_ - er * sp_
 
-        # ---- data slots + effective noise
-        dr = er2.reshape(n_pil, sp, LANES)[:, 1:].reshape(n_data, LANES)
-        di = ei2.reshape(n_pil, sp, LANES)[:, 1:].reshape(n_data, LANES)
-        h2d = h2.reshape(n_pil, sp, LANES)[:, 1:].reshape(n_data, LANES)
+        # ---- effective noise over ALL used bins (pilot rows are demapped
+        # too — their LLR rows cost nothing extra on the VPU and the sign
+        # plane zeroes them; compacting them out was the 0.47 ms shuffle)
+        dr, di, h2d = er2, ei2, h2
         # per-symbol noise floor from the derotated pilots' CSI-weighted
         # residuals (twin of Modem._eq_body): σ̂² = Σ_p h²_p·|X̂_p − p|²/P
         pr2 = er2.reshape(n_pil, sp, LANES)[:, 0]
@@ -232,23 +263,28 @@ def _make_kernel(cfg: ModemConfig, LP: int):
 
         lre, mdr = axis(dr)
         lim, mdi = axis(di)
-        # bit order: I-axis bits then Q-axis, per bin (matches qam_demap_llr)
-        bits = jnp.stack(lre + lim, axis=1)                       # (n_data, bps, L)
-        llr = bits.reshape(n_data * bps, LANES)
-        pad = LP - n_data * bps
+        # plane-major rows: I-axis bit-planes then Q-axis, each over all
+        # n_used bins (a sublane CONCAT — free — where the bin-major layout
+        # needed a stack+reshape interleave). `stream_row_perm` maps these
+        # rows back to the qam_demap_llr bit order downstream.
+        llr = jnp.concatenate(lre + lim, axis=0)                  # (2m·n_used, L)
+        pad = LP - n_used * bps
         if pad:
             llr = jnp.concatenate(
                 [llr, jnp.zeros((pad, LANES), jnp.float32)], axis=0)
-        # demapper-confidence sum while the rows are VMEM-resident (saves
-        # the XLA-side 40 MB re-read for mean_abs_llr; sign flip below
-        # leaves |llr| unchanged, pad rows are zero)
-        sumabs = jnp.sum(jnp.abs(llr), axis=0, keepdims=True)     # (1, L)
         # fold the channel-bit descrambler in: sign_ref[s] (LP, 1) is
-        # (1 − 2·scramble) in this symbol's bit layout, so the emitted LLRs
-        # are DESCRAMBLED — the FEC epilogue reads them with shape ops only
-        llr_ref[s] = llr * sign_ref[s]
+        # (1 − 2·scramble) in this symbol's plane-row layout, ZERO on pilot
+        # and pad rows — so the emitted LLRs are DESCRAMBLED and the
+        # non-payload rows are exactly 0
+        llr = llr * sign_ref[s]
+        # demapper-confidence sum while the rows are VMEM-resident (saves
+        # the XLA-side 40 MB re-read for mean_abs_llr; the ±1 signs leave
+        # |llr| unchanged, pilot/pad rows contribute exact zeros)
+        sumabs = jnp.sum(jnp.abs(llr), axis=0, keepdims=True)     # (1, L)
+        llr_ref[s] = llr
 
-        evm = jnp.mean(mdr + mdi, axis=0, keepdims=True)          # (1, L)
+        evm = (jnp.sum((mdr + mdi) * dmask, axis=0, keepdims=True)
+               / jnp.float32(n_data))                             # (1, L)
         diag_ref[s] = jnp.concatenate(
             [a, b, evm, sumabs, jnp.zeros((4, LANES), jnp.float32)], axis=0)
 
@@ -261,16 +297,18 @@ def fused_eq_demap_tpu(cfg: ModemConfig, y_ri: jnp.ndarray, h_ri: jnp.ndarray,
                        interpret: bool = False):
     """y_ri: (D, 2, n_used, B) data-symbol bins (re,im); h_ri: (2, n_used, B);
     nv: (8, B) noise variance in row 0; sign: (D, LP, 1) descrambler signs
-    (±1; 1.0 on pad rows — `Modem._descramble_sign_plane` builds it).
+    in the PLANE-MAJOR row layout (±1 on payload rows, 0.0 on pilot/pad
+    rows — `Modem._sign_plane` builds it via `stream_row_perm`).
     B % 128 == 0.
 
-    Returns (llr (D, LP, B) with LP = roundup(n_data_bins·bps, 8), already
-    descrambled — caller slices/reshapes — and diag (D, 8, B): rows 0..3 =
+    Returns (llr (D, LP, B) with LP = plane_rows(cfg) — row p·n_used + k is
+    bit-plane p of used bin k, descrambled, pilot/pad rows exactly 0; the
+    caller gathers `stream_row_perm` rows — and diag (D, 8, B): rows 0..3 =
     slope, cpe, evm, Σ|llr|).
     """
     D, _, n_used, B = y_ri.shape
     assert B % LANES == 0
-    LP = -(-cfg.n_data_bins * cfg.bits_per_symbol // 8) * 8
+    LP = plane_rows(cfg)
     assert sign.shape == (D, LP, 1), sign.shape
     kern = _make_kernel(cfg, LP)
     lay = layout(cfg)
