@@ -69,6 +69,8 @@ def test_batched_leading_dims():
     assert np.array_equal(bits, u)
 
 
+@pytest.mark.slow  # 84 s: cross-product breadth; per-backend parity also
+# covered by test_decodes_* here and the on-chip gate (tools/tpu_parity.py)
 def test_early_exit_matches_across_backends_and_batchings():
     """Early termination must be (a) faster — fewer message passes than the
     budget, (b) batch-independent — the per-lane freeze rule makes each

@@ -59,7 +59,11 @@ def test_corrects_near_threshold(rate):
     assert np.array_equal(bits, u)
 
 
-@pytest.mark.parametrize("rate", NONHALF)
+@pytest.mark.parametrize("rate", [
+    pytest.param("2/3", marks=pytest.mark.slow),   # 56 s
+    "3/4",                                          # production multi-rate
+    pytest.param("5/6", marks=pytest.mark.slow),   # 68 s
+])  # slow tier re-runs all rates; 4-backend parity at 1/2 is in test_ldpc
 def test_backends_bit_identical(rate):
     """NumPy golden ≡ XLA ≡ Pallas(interpret) ≡ C++ at every rate, on noisy
     LLRs with early exit (shared freeze rule)."""

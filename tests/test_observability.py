@@ -22,6 +22,8 @@ def modem():
     return Modem(CFG)
 
 
+@pytest.mark.slow  # 59 s: SC metric on a real frame; the metric and its
+# window are covered in test_sc_sync.py on synthetic geometry
 def test_sc_metric_validates_real_frame(modem):
     rng = np.random.default_rng(0)
     wav = modem.encode(b"sc check")
@@ -49,6 +51,8 @@ def test_equalized_symbols_cluster_on_constellation(modem):
     assert np.percentile(d, 99) < 0.25
 
 
+@pytest.mark.slow  # 62 s: matplotlib render smoke; diag VALUES are
+# asserted by the other observability tests
 def test_plots_render(tmp_path, modem):
     from gf3x.bench.ber import ber_sweep
     from gf3x.bench.plots import save_ber_plot, save_channel_response, save_constellation

@@ -14,7 +14,9 @@ from gf3x.fec.codes import N_BLOCK_COLS
 from gf3x.ops.pallas.ldpc_bp import LANES, minsum_totals_tpu
 
 
-@pytest.mark.parametrize("z", [24, 96])
+@pytest.mark.parametrize(
+    "z", [24, pytest.param(96, marks=pytest.mark.slow)])  # z=96: 73 s;
+# the production-z compiled kernel is re-verified on chip by tpu_parity
 def test_ldpc_pallas_kernel_matches_xla(z):
     code = LdpcCode(z)
     rng = np.random.default_rng(z)
@@ -271,3 +273,38 @@ def test_cut_symbols_span_staging_matches_xla():
         block=block)
     assert np.array_equal(np.asarray(syms), np.asarray(ref_syms_c))
     assert np.array_equal(np.asarray(scw), np.asarray(ref_scw_c))
+
+
+@pytest.mark.parametrize("bps", [2, 4, 6])
+def test_stream_row_perm_layout_contract(bps):
+    """The plane-major layout contract between the fused kernel and the FEC
+    epilogue (pure-NumPy, no jit): `stream_row_perm` is injective into the
+    plane rows, hits exactly the non-pilot bins, and the sign plane built
+    from it is ±1 precisely on permuted rows and 0.0 everywhere else
+    (pilot + pad rows) — the invariant that keeps the in-kernel Σ|llr|
+    confidence sum payload-only."""
+    from gf3x import GF3_STANDARD, Modem
+    from gf3x.config import layout
+    from gf3x.ops.pallas.fused_eq import plane_rows, stream_row_perm
+
+    cfg = GF3_STANDARD.replace(bits_per_symbol=bps, fec="none")
+    perm = stream_row_perm(cfg)
+    R = cfg.n_data_bins * bps
+    assert perm.shape == (R,)
+    assert len(np.unique(perm)) == R                     # injective
+    assert perm.min() >= 0 and perm.max() < plane_rows(cfg)
+    # rows hit = every (plane, data bin); pilot bins never referenced
+    lay = layout(cfg)
+    bins_hit = np.unique(perm % cfg.n_used)
+    assert np.array_equal(bins_hit, np.sort(lay.data_pos))
+    assert not np.isin(lay.pilot_pos, bins_hit).any()
+    # stream bit rho = k_data*bps + j maps to plane j, bin data_pos[k_data]
+    rho = np.arange(R)
+    assert np.array_equal(perm // cfg.n_used, rho % bps)
+    assert np.array_equal(perm % cfg.n_used, lay.data_pos[rho // bps])
+
+    plane = Modem(cfg)._sign_plane[..., 0]               # (D, LP)
+    on = np.zeros(plane.shape, bool)
+    on[:, perm] = True
+    assert np.isin(plane[on], (-1.0, 1.0)).all()
+    assert (plane[~on] == 0.0).all()

@@ -105,6 +105,7 @@ def test_sc_sync_tiny_cp_geometry(n_fft, cp):
     assert abs(int(res.diag.sync_start) - delay) < cp
 
 
+@pytest.mark.slow  # 79 s: harsher-channel variant of test_sc_sync_decodes
 def test_sc_sync_multipath_low_snr_gf3():
     """Hardening (VERDICT r1 item 6): the SC plateau timing must survive a
     room impulse response + low SNR on the full GF3 preset — the same

@@ -128,6 +128,8 @@ def test_decode_stream_auto_sfo_recovers_multiframe():
     assert res.complete and res.payload == data
 
 
+@pytest.mark.slow  # 68 s: path x flag matrix; each path's SFO correction
+# is individually covered by the other tests in this file
 def test_sfo_on_honored_on_every_sync_path(pair):
     """Explicit sfo='on' must run the correction loop for sync='sc' and
     explicit-start decodes too (review r2 finding: it was silently ignored
