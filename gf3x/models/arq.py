@@ -52,25 +52,45 @@ def attribute_positions(starts, anchors, stride0: float) -> list:
     fit by err/Δp for EVERY attribution, which flips round() on transfers
     longer than ~stride/(2·err) frames; the pairwise median tolerates any
     minority of bad anchors. The base offset is likewise the median over
-    anchors of (start − position·stride). A measured stride below half
-    the nominal is rejected (frames cannot overlap that much — it means
-    the anchors themselves are corrupt) in favor of the nominal."""
+    anchors of (start − position·stride). The measured stride is accepted
+    only inside ±2 % of the nominal — an order of magnitude beyond the
+    physical budget (±1200 ppm SFO plus ≤cp of start-refinement error per
+    pair); outside that window the anchors themselves are corrupt (frames
+    cannot be spaced closer than frame_len, and arbitrarily large medians
+    collapse every attribution onto a few positions), so the nominal
+    stride wins. Pair formation caps the anchors at 64 evenly spaced
+    across the round: the pairwise count is O(A²) and a large transfer
+    (~18k CRC-ok frames) would otherwise build ~1.6e8 pairs for a median
+    that 64 well-spread anchors already pin."""
     n = len(starts)
     if not anchors:
         return list(range(n))
     stride = stride0
+    est_anchors = anchors
+    if len(est_anchors) > 64:
+        idx = np.linspace(0, len(est_anchors) - 1, 64).round().astype(int)
+        est_anchors = [est_anchors[i] for i in idx]
     ests = [
         (int(starts[ib]) - int(starts[ia])) / (pb - pa)
-        for k, (ia, pa) in enumerate(anchors)
-        for ib, pb in anchors[k + 1:]
+        for k, (ia, pa) in enumerate(est_anchors)
+        for ib, pb in est_anchors[k + 1:]
         if pb != pa
     ]
     if ests:
         med = float(np.median(ests))
-        if med > 0.5 * stride0:
+        if abs(med - stride0) <= 0.02 * stride0:
             stride = med
-    base = float(np.median([int(starts[i]) - p * stride
-                            for i, p in anchors]))
+    if len(anchors) == 2 and anchors[0][1] != anchors[1][1]:
+        # two disagreeing anchors: a median base is their midpoint, which
+        # puts every (start − base)/stride on a half-integer and leaves the
+        # attribution to banker's rounding — anchor the base on the FIRST
+        # anchor instead (deterministic tie-break; matches the pre-median
+        # behavior that the two-anchor tests pinned)
+        i0, p0 = anchors[0]
+        base = float(int(starts[i0]) - p0 * stride)
+    else:
+        base = float(np.median([int(starts[i]) - p * stride
+                                for i, p in anchors]))
     return [round((int(starts[j]) - base) / stride) for j in range(n)]
 
 

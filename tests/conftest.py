@@ -45,7 +45,8 @@ def pytest_collection_modifyitems(config, items):
     do that once per round. Measured (2026-08-18): full tier 43:44, fast
     tier 28:22 on a cold compile cache; the persistent cache below cuts
     re-runs further (cold 29 s → warm 15 s on the flagship decode)."""
-    if config.getoption("--slow") or os.environ.get("GF3X_SLOW"):
+    if (config.getoption("--slow")
+            or os.environ.get("GF3X_SLOW", "") not in ("", "0")):
         return
     skip = pytest.mark.skip(reason="slow tier: run with pytest --slow")
     for item in items:

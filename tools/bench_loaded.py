@@ -33,7 +33,7 @@ SCAN_BATCHES = 64
 STEPS = 3
 
 
-def build_windows(modem, rng) -> np.ndarray:
+def build_windows(modem, rng) -> "tuple[np.ndarray, bytes]":
     cfg = modem.cfg
     payload = rng.integers(0, 256, 400, dtype=np.uint8).tobytes()
     wav = np.asarray(modem.encode(payload, "b.bin"))
