@@ -243,8 +243,8 @@ class LdpcCode:
         lam = llr.reshape(-1, self.n).astype(jnp.float32)
         B = lam.shape[0]
         if use_pallas is None:
-            from ..utils.device import computation_on_tpu
-            use_pallas = computation_on_tpu()
+            from ..utils.device import pallas_ok
+            use_pallas = pallas_ok()
         if use_pallas:
             from ..ops.pallas.ldpc_bp import LANES, minsum_totals_tpu
             Bp = -(-B // LANES) * LANES
@@ -286,8 +286,8 @@ class LdpcCode:
         _, z, L = lam_t.shape
         assert z == self.z
         if use_pallas is None:
-            from ..utils.device import computation_on_tpu
-            use_pallas = computation_on_tpu()
+            from ..utils.device import pallas_ok
+            use_pallas = pallas_ok()
         if use_pallas:
             from ..ops.pallas.ldpc_bp import minsum_totals_tpu
             tot, diag = minsum_totals_tpu(lam_t, self.z, iters, early_exit,

@@ -292,7 +292,7 @@ def gather_cut(rx: jnp.ndarray, starts: jnp.ndarray, need: int,
     guarantee a verbatim window; only windows butting the recording end
     are affected.
     """
-    from ..utils.device import computation_on_tpu
+    from ..utils.device import pallas_ok
 
     *lead, T = rx.shape
     B = int(np.prod(lead)) if lead else 1
@@ -313,7 +313,7 @@ def gather_cut(rx: jnp.ndarray, starts: jnp.ndarray, need: int,
     qcap = nf + 8 - nb
     sflat = jnp.broadcast_to(starts.astype(jnp.int32), tuple(lead)).reshape(-1)
     rx2 = rx.reshape(-1, T)
-    on_tpu = computation_on_tpu()
+    on_tpu = pallas_ok()
     if qcap < 0:
         # recording shorter than the window: zero-pad to one window and cut
         # at block 0 (tiny-input fallback; decode is degenerate here anyway)
@@ -373,7 +373,7 @@ def cut_symbols(rx: jnp.ndarray, starts: jnp.ndarray, *, S: int, n_fft: int,
     are clamped into it (a mis-cut on those rows, exactly like a mis-sync
     — never an out-of-bounds read).
     """
-    from ..utils.device import computation_on_tpu
+    from ..utils.device import pallas_ok
 
     *lead, T = rx.shape
     B = int(np.prod(lead)) if lead else 1
@@ -398,7 +398,7 @@ def cut_symbols(rx: jnp.ndarray, starts: jnp.ndarray, *, S: int, n_fft: int,
     rows = max((r for r in (32, 16, 8) if B % r == 0
                 and 2 * r * (ws + 8) * block * 4 <= _pallas_stage_bytes()),
                default=0)
-    if (computation_on_tpu() and aligned and rows and nf + 8 - nb >= 0
+    if (pallas_ok() and aligned and rows and nf + 8 - nb >= 0
             and ws >= nb):
         from .pallas.gather_cut import cut_symbols_tpu
         sflat = jnp.broadcast_to(starts.astype(jnp.int32),

@@ -247,6 +247,33 @@ def main() -> int:
               np.array_equal(np.asarray(syms), sref)
               and np.array_equal(np.asarray(scw), scref), "")
 
+    # ---- 4b. sharded_decode on a real-TPU mesh with the Pallas kernels
+    # ENGAGED (r4 VERDICT item 1a): shard_map gives each shard local
+    # shapes, so this exercises NamedSharding + shard_map + compiled
+    # pallas_call lowering — the exact composition a multi-chip mesh runs —
+    # at one chip. Bit-parity vs the unsharded jit of the same receiver.
+    from jax.sharding import Mesh
+    from gf3x.parallel import sharded_decode
+
+    m1 = Modem(GF3_STANDARD)
+    rng = np.random.default_rng(21)
+    Bs = 16
+    info_s = rng.integers(0, 2, (Bs, GF3_STANDARD.payload_bits_per_frame),
+                          dtype=np.uint8)
+    wavs = np.asarray(m1._encode_jit(jnp.asarray(info_s)))
+    Ts = wavs.shape[-1] + 2048
+    rxs = np.zeros((Bs, Ts), np.float32)
+    for i in range(Bs):
+        rxs[i, 400 + 16 * i: 400 + 16 * i + wavs.shape[-1]] = 0.7 * wavs[i]
+    rxs += (rng.standard_normal(rxs.shape) * 2e-3).astype(np.float32)
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("dp",))
+    bits_sh, diag_sh = sharded_decode(m1, mesh1)(rxs)
+    bits_un, _ = jax.jit(m1.demodulate)(rxs)
+    check("sharded_pallas_decode",
+          np.array_equal(np.asarray(bits_sh), np.asarray(bits_un))
+          and np.array_equal(np.asarray(bits_sh), info_s),
+          "shard_map mesh decode ≡ unsharded, Pallas engaged")
+
     # ---- 5. demod DFT precision floor (bf16x3 vs float64 reference)
     from gf3x.config import layout
     from gf3x.ops.ofdm import ofdm_dft
