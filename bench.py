@@ -153,9 +153,13 @@ def hbm_bytes_per_step(cfg, T: int, B: int, search_len: int) -> dict:
                   + 2 * U                # H read
                   + D * LP               # LLR write
                   + D * 8)               # diag write
-    epi = B * 4 * (2 * D * R             # row-perm gather + stream shuffle
-                                         # r+w (reads only payload rows)
-                   + 2 * ncw * 24 * z)   # LDPC lanes layout r+w
+    # r5: the FEC ingest is ONE static gather (Modem._lanes_row_idx) from
+    # the kernel's plane rows straight into the LDPC lanes layout — the
+    # r4 chain (row-perm gather + interleave shuffle + codeword transpose,
+    # 2·D·R + 2·ncw·24·z) collapses to gather r+w, plus the 1/8-subsampled
+    # llr_hist read (DecodeDiag observability, SURVEY.md §6.5)
+    epi = B * 4 * (2 * ncw * 24 * z      # one-gather lanes layout r+w
+                   + ncw * 24 * z // 8)  # llr_hist strided re-read
     ldpc = B * 4 * (ncw * 24 * z * 2)    # lam in + totals out (state is VMEM)
     bits = B * (ncw * 12 * z * 2)        # info bits u8 transpose r+w
     stages = {"sync": sync, "cut_symbols": cut, "dft": dft, "fused_eq": eq,

@@ -117,6 +117,10 @@ def cmd_receive(args) -> int:
                       if r.diag is not None],
         "fec_unsat": [int(r.diag.fec_unsat) for r in res.frames
                       if r.diag is not None],
+        # |LLR| histogram per frame (SURVEY.md §6.5): 16 log2-spaced bins,
+        # bin k = [2^(k-2), 2^(k-1)) on a 1/8 subsample of the coded bits
+        "llr_hist": [[int(c) for c in np.asarray(r.diag.llr_hist)]
+                     for r in res.frames if r.diag is not None],
     }
     if args.json:
         print(json.dumps(report))

@@ -65,17 +65,33 @@ class DecodeDiag(NamedTuple):
     fec_unsat: jnp.ndarray       # (...,) int32 — codewords whose final hard
                                  # decisions still violate a parity check
                                  # (the decoder gave up; 0 = all converged)
+    llr_hist: jnp.ndarray        # (..., 16) int32 — per-decode |LLR|
+                                 # histogram (SURVEY.md §6.5): bin k counts
+                                 # demapper LLRs with |llr| ∈ [2^(k-2),
+                                 # 2^(k-1)) (bin 0 = below 0.25 incl. exact
+                                 # zeros, bin 15 = 8192 and up), on a
+                                 # 1/8-strided subsample of the frame's
+                                 # coded bits (a shape-static diagnostic
+                                 # that costs ~nothing in the hot path)
 
 
 class _FusedLlr(NamedTuple):
-    """Demapper output of the fused Pallas path, kept in its device layout
+    """Demapper output of a fused Pallas path, kept in its device layout
     (D, LP, Bp) — descrambled, batch in LANES — so the FEC epilogue runs
-    with major-axis block shuffles only (the r2 transpose chain moved the
-    batch lanes→sublanes→lanes twice, ~0.5 ms of pure relayout at B=1024)."""
+    with one static gather (the r2 transpose chain moved the batch
+    lanes→sublanes→lanes twice, ~0.5 ms of pure relayout at B=1024).
 
-    llr_p: jnp.ndarray           # (D, LP, Bp) f32, LP = plane_rows(cfg):
-                                 # plane-major rows (see fused_eq docstring)
+    Produced by BOTH Pallas tails: the monolithic `fused_eq` kernel
+    (LP = plane_rows(cfg), pilot/pad rows zeroed) and the two-kernel split
+    (`split_eq`; LP = bps·n_used uniform, or the concatenated padded group
+    planes when bit-loaded). `rows` names the layout: wire bit ρ of a
+    symbol lives at plane row rows[ρ]."""
+
+    llr_p: jnp.ndarray           # (D, LP, Bp) f32 plane-major rows
     batch: int                   # valid lanes (caller batch before padding)
+    rows: np.ndarray = None      # (R,) wire-position → plane-row map; None
+                                 # = the monolithic `stream_row_perm(cfg)`
+    tag: str = "u"               # layout cache key ('u' uniform, 'l' loaded)
 
 
 @dataclass
@@ -263,6 +279,66 @@ class Modem:
         plane[:, stream_row_perm(cfg)] = signs.reshape(D, R)
         return plane[:, :, None]
 
+    def _build_lanes_idx(self, LP: int, perm: np.ndarray) -> np.ndarray:
+        """Static (24, z, n_codewords) int32 gather indices into a fused
+        tail's FLATTENED plane rows (D·LP,) that land the LLRs directly in
+        the LDPC lanes layout `LdpcCode.decode_lanes` consumes: entry
+        [j, zi, cw] is codeword cw's bit j·z + zi. One composed permutation
+        of (a) the kernel's plane-major row layout (`perm`: wire position →
+        plane row, `_FusedLlr.rows`), (b) the v3 interleaver inverse, and
+        (c) the codeword split — so the whole FEC ingest is ONE gather over
+        the LLR plane instead of the gather + interleave-reshape +
+        codeword-transpose chain (measured r4: that chain re-read the
+        ~42 MB plane ~4× — 155.8 MB/step of HBM in `fec_epilogue`,
+        BENCH_r04 `hbm_stage_mb`)."""
+        cfg = self.cfg
+        R, D = cfg.bits_per_ofdm_symbol, cfg.n_data_symbols
+        i = np.arange(cfg.raw_bits_per_frame, dtype=np.int64)
+        if cfg.interleave:
+            from .frame import scatter_factors
+            A2, B2 = scatter_factors(R)
+            # stream bit i = a2·B2·D + b2·D + d sits at wire position
+            # ρ = b2·A2 + a2 of symbol d (interleave_bits inverse)
+            a2, rem = i // (B2 * D), i % (B2 * D)
+            b2, d = rem // D, rem % D
+            rho = b2 * A2 + a2
+        else:
+            d, rho = i // R, i % R
+        row = d * LP + perm[rho]                         # flat plane row
+        ncw, z = cfg.n_codewords, cfg.ldpc_z
+        used = ncw * cfg.ldpc_n
+        idx = row[:used].reshape(ncw, 24, z).transpose(1, 2, 0)
+        return np.ascontiguousarray(idx, dtype=np.int32)
+
+    @functools.cached_property
+    def _lanes_row_idx(self) -> np.ndarray:
+        """`_build_lanes_idx` for the monolithic kernel's layout."""
+        from ..ops.pallas.fused_eq import plane_rows, stream_row_perm
+
+        return self._build_lanes_idx(plane_rows(self.cfg),
+                                     stream_row_perm(self.cfg))
+
+    def _lanes_idx(self, fused: _FusedLlr) -> np.ndarray:
+        """The lanes gather index for whichever fused layout `fused`
+        carries (cached per layout — at most two per modem)."""
+        if fused.rows is None:
+            return self._lanes_row_idx
+        LP = fused.llr_p.shape[1]
+        key = (LP, fused.tag)
+        cache = self.__dict__.setdefault("_lanes_idx_cache", {})
+        if key not in cache:
+            cache[key] = self._build_lanes_idx(LP, fused.rows)
+        return cache[key]
+
+    @staticmethod
+    def _hist16_of(x: jnp.ndarray) -> jnp.ndarray:
+        """16-bin log2 magnitude bucket index of each element (int32, same
+        shape): bucket k ⇔ |x| ∈ [2^(k-2), 2^(k-1)), clipped to [0, 15] —
+        exact zeros land in bucket 0. Exponent extraction is a bitcast +
+        shift (no transcendental), so histogramming stays ~free on the VPU."""
+        e = (jax.lax.bitcast_convert_type(jnp.abs(x), jnp.int32) >> 23) & 0xFF
+        return jnp.clip(e - 127 + 2, 0, 15)
+
     def _stream_llr(self, fused: _FusedLlr) -> jnp.ndarray:
         """Fused-layout LLRs (D, LP, Bp) → descrambled coded-STREAM layout
         (raw_bits_per_frame, Bp): bit i of the codeword stream in sublanes,
@@ -270,14 +346,17 @@ class Modem:
         `stream_row_perm` gather here fuses in XLA with the interleaver's
         reshape/transpose (one relayout pass either way — measured r4), so
         moving the row shuffle out of the kernel's VPU is free. The batch
-        never leaves the lane axis (cf. VERDICT r2 weak #2)."""
+        never leaves the lane axis (cf. VERDICT r2 weak #2). (The LDPC
+        ingest no longer routes through here — `_lanes_row_idx` gathers the
+        lanes layout in one step; this remains the evaluation-surface view.)
+        """
         from ..ops.pallas.fused_eq import stream_row_perm
         from .frame import scatter_factors
 
         cfg = self.cfg
         R, D = cfg.bits_per_ofdm_symbol, cfg.n_data_symbols
-        x = jnp.take(fused.llr_p, jnp.asarray(stream_row_perm(cfg)),
-                     axis=1)                                # (D, R, Bp)
+        rows = (stream_row_perm(cfg) if fused.rows is None else fused.rows)
+        x = jnp.take(fused.llr_p, jnp.asarray(rows), axis=1)  # (D, R, Bp)
         Bp = x.shape[-1]
         if cfg.interleave:
             A2, B2 = scatter_factors(R)
@@ -321,6 +400,114 @@ class Modem:
         mabs = (jnp.sum(diag_p[:, 3, :B], axis=0) /
                 jnp.float32(D * nbits)).reshape(lead)
         return (_FusedLlr(llr_p, B),
+                (H, noise_var, slope, cpe, evm, mabs))
+
+    @functools.cached_property
+    def _loaded_split_layout(self):
+        """Static layout of the bit-loaded split tail: (rows, LPs, groups,
+        sign_plane). Wire bit ρ of a symbol (group-sorted order, SPEC §5b)
+        lives at plane row rows[ρ]; the plane is the concatenation of each
+        group's (m_g bit-planes × padded group bins) block. groups entries:
+        (m, used_idx (Ugp,) int32 — used-bin index per group bin, 0-filled
+        pad —, plane base row, valid bin count Ug). sign_plane (D, LPs, 1)
+        carries the descrambler signs, 0.0 on pad columns."""
+        from .frame import loading_tables
+
+        cfg = self.cfg
+        t = loading_tables(cfg)
+        lay = layout(cfg)
+        R, D = cfg.bits_per_ofdm_symbol, cfg.n_data_symbols
+        signs = (1.0 - 2.0 * self.lay.scramble.astype(np.float32))
+        if cfg.interleave:
+            from .frame import interleave_bits
+            signs = np.asarray(interleave_bits(cfg, signs))
+        signs = signs.reshape(D, R)
+        rows = np.empty(R, np.int64)
+        groups = []
+        base = goff = 0
+        for m, pos in t.groups:
+            Ug = len(pos)
+            Ugp = -(-Ug // 8) * 8
+            used_idx = np.zeros(Ugp, np.int32)
+            used_idx[:Ug] = lay.data_pos[pos]
+            i = np.arange(Ug * m)
+            # wire ρ = goff + bin·m + bit (qam_demap_llr bit order) →
+            # plane row = base + bit·Ugp + bin (plane-major within group)
+            rows[goff + i] = base + (i % m) * Ugp + i // m
+            groups.append((m, used_idx, base, Ug))
+            base += m * Ugp
+            goff += Ug * m
+        plane = np.zeros((D, base), np.float32)
+        plane[:, rows] = signs
+        return rows, base, groups, plane[:, :, None]
+
+    def _split_eq_demap(self, Y: jnp.ndarray, H: jnp.ndarray,
+                        noise_var: jnp.ndarray, lead: tuple,
+                        interpret: bool = False):
+        """Post-estimate tail on the TWO-KERNEL split (`ops.pallas.split_eq`)
+        — the constellations the monolithic kernel's VMEM cannot hold:
+        64-QAM and every bit-loaded config. Kernel A equalizes + tracks +
+        derotates (constellation-independent); kernel B demaps, chunked
+        over bins (per group when loaded). Same return contract as
+        `_fused_eq_demap`."""
+        from ..ops.pallas.fused_eq import LANES, stream_row_perm
+        from ..ops.pallas.split_eq import demap_bins_tpu, eq_track_tpu
+
+        cfg = self.cfg
+        B = int(np.prod(lead)) if lead else 1
+        Bp = -(-B // LANES) * LANES
+        D = cfg.n_data_symbols
+        Yd = Y[..., cfg.n_known_symbols:, :].reshape(B, D, cfg.n_used)
+        y_ri = jnp.stack([Yd.real, Yd.imag], axis=1).transpose(2, 1, 3, 0)
+        h_ri = jnp.stack([H.real, H.imag], axis=0).reshape(
+            2, B, cfg.n_used).transpose(0, 2, 1)
+        nv8 = jnp.zeros((8, B), jnp.float32).at[0].set(noise_var.reshape(B))
+        if Bp != B:
+            y_ri = jnp.pad(y_ri, ((0, 0), (0, 0), (0, 0), (0, Bp - B)))
+            h_ri = jnp.pad(h_ri, ((0, 0), (0, 0), (0, Bp - B)),
+                           constant_values=1.0)
+            nv8 = jnp.pad(nv8, ((0, 0), (0, Bp - B)), constant_values=1.0)
+        eq, dA = eq_track_tpu(cfg, y_ri, h_ri, nv8, interpret)
+        if cfg.bit_loading is None:
+            U, bps = cfg.n_used, cfg.bits_per_symbol
+            sign = jnp.asarray(np.ascontiguousarray(
+                self._sign_plane[:, : bps * U, :].reshape(D, bps, U, 1)))
+            llr4, dB = demap_bins_tpu(bps, cfg.pilot_spacing, 1.0, U,
+                                      eq, dA, h_ri, sign, interpret)
+            llr_p = llr4.reshape(D, bps * U, Bp)
+            rows, tag = stream_row_perm(cfg), "u"
+            n_eff_bins = cfg.n_data_bins
+        else:
+            from .frame import loading_tables
+            rows, _LPs, groups, plane = self._loaded_split_layout
+            inv_gain = 1.0 / loading_tables(cfg).gain
+            parts, dB = [], None
+            for m, used_idx, gbase, Ug in groups:
+                idxc = jnp.asarray(used_idx)
+                eq_g = jnp.take(eq, idxc, axis=2)
+                h_g = jnp.take(h_ri, idxc, axis=1)
+                Ugp = used_idx.size
+                sign_g = jnp.asarray(np.ascontiguousarray(
+                    plane[:, gbase: gbase + m * Ugp, 0]
+                    .reshape(D, m, Ugp, 1)))
+                llr_g, dB_g = demap_bins_tpu(m, 0, inv_gain, Ug,
+                                             eq_g, dA, h_g, sign_g, interpret)
+                parts.append(llr_g.reshape(D, m * Ugp, Bp))
+                dB = dB_g if dB is None else dB + dB_g
+            llr_p = jnp.concatenate(parts, axis=1)
+            tag = "l"
+            n_eff_bins = cfg.n_active_bins
+        if Bp != B:
+            # pad lanes must carry ZERO LLRs (LDPC early-exit, cf.
+            # _fused_eq_demap)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Bp), 2)
+            llr_p = jnp.where(lane < B, llr_p, 0.0)
+        slope = dA[:, 0, :B].T.reshape(*lead, D)
+        cpe = dA[:, 1, :B].T.reshape(*lead, D)
+        evm = (dB[0, :B] / jnp.float32(D * n_eff_bins)).reshape(lead)
+        mabs = (dB[1, :B]
+                / jnp.float32(cfg.raw_bits_per_frame)).reshape(lead)
+        return (_FusedLlr(llr_p, B, rows, tag),
                 (H, noise_var, slope, cpe, evm, mabs))
 
     def _deroll(self, Y: jnp.ndarray, roll) -> jnp.ndarray:
@@ -413,7 +600,7 @@ class Modem:
     def _bits_from_llr(self, llr: jnp.ndarray) -> jnp.ndarray:
         """Channel LLRs (..., raw_bits) → info bits (..., payload_bits)
         (flat-layout compatibility wrapper around `_payload_bits`)."""
-        bits, _, _ = self._payload_bits(llr, llr.shape[:-1])
+        bits, _, _, _ = self._payload_bits(llr, llr.shape[:-1])
         return bits
 
     def coded_stream_llr(self, llr_like, lead: tuple) -> jnp.ndarray:
@@ -433,24 +620,35 @@ class Modem:
 
     def _payload_bits(self, llr_like, lead: tuple):
         """Demapper output → (info bits (..., payload_bits), fec_iters
-        (...,) int32, fec_unsat (...,) int32).
+        (...,) int32, fec_unsat (...,) int32, llr_hist (..., 16) int32).
 
         Two layouts: a flat (..., raw_bits) SCRAMBLED LLR array (the XLA
         twin), or `_FusedLlr` — the Pallas kernel's (D, LP, Bp) descrambled
         device layout, whose whole FEC ingest (deinterleave → codeword
-        split → LDPC lanes batch) is major-axis transposes with the batch
-        pinned to the lane axis: the LDPC decoder runs on (24, z, ncw·Bp)
-        directly (`LdpcCode.decode_lanes`) and only the final info-bit
-        matrix (⅛ the LLR bytes) pays a lane→sublane relayout."""
+        split → LDPC lanes batch) is ONE static gather over the flattened
+        plane rows (`_lanes_row_idx`): the LDPC decoder runs on
+        (24, z, ncw·Bp) directly (`LdpcCode.decode_lanes`) and only the
+        final info-bit matrix (⅛ the LLR bytes) pays a lane→sublane
+        relayout. llr_hist is the §6.5 observability histogram
+        (`DecodeDiag.llr_hist`), computed on a 1/8-strided subsample of the
+        coded LLRs so it costs ~nothing in the hot path."""
         cfg = self.cfg
+        bins16 = jnp.arange(16, dtype=jnp.int32)
         if isinstance(llr_like, _FusedLlr):
-            stream = self._stream_llr(llr_like)            # (raw, Bp) descrambled
-            B, Bp = llr_like.batch, stream.shape[-1]
+            B, Bp = llr_like.batch, llr_like.llr_p.shape[-1]
             if cfg.fec == "ldpc":
                 ncw, z = cfg.n_codewords, cfg.ldpc_z
-                used = ncw * cfg.ldpc_n
-                lam = (stream[:used].reshape(ncw, 24, z, Bp)
-                       .transpose(1, 2, 0, 3).reshape(24, z, ncw * Bp))
+                D = llr_like.llr_p.shape[0]
+                flat = llr_like.llr_p.reshape(D * llr_like.llr_p.shape[1], Bp)
+                idx = jnp.asarray(self._lanes_idx(llr_like).reshape(-1))
+                lam = jnp.take(flat, idx, axis=0).reshape(24, z, ncw * Bp)
+                # 1/8-strided z-subsample: whole (ncw·Bp)-rows skip, so the
+                # histogram's extra HBM read is 1/8 of the lam plane
+                bkt = self._hist16_of(lam[:, ::8, :])      # (24, z/8, ncw·Bp)
+                hist = jnp.sum((bkt[..., None] == bins16).astype(jnp.int32),
+                               axis=(0, 1))                # (ncw·Bp, 16)
+                hist = (jnp.sum(hist.reshape(ncw, Bp, 16), axis=0)[:B]
+                        .reshape(*lead, 16))
                 tot, it_lane, unsat_lane = self._code.decode_lanes(
                     lam, cfg.ldpc_iters)
                 kb = 24 - self._code.mb                    # info block cols
@@ -461,12 +659,18 @@ class Modem:
                 iters = jnp.max(it_lane.reshape(ncw, Bp)[:, :B], axis=0)
                 unsat = jnp.sum(unsat_lane.reshape(ncw, Bp)[:, :B]
                                 .astype(jnp.int32), axis=0)
-                return bits, iters.reshape(lead), unsat.reshape(lead)
+                return bits, iters.reshape(lead), unsat.reshape(lead), hist
+            stream = self._stream_llr(llr_like)            # (raw, Bp)
+            bkt = self._hist16_of(stream[::8, :])          # (raw/8, Bp)
+            hist = (jnp.sum((bkt[..., None] == bins16).astype(jnp.int32),
+                            axis=0)[:B].reshape(*lead, 16))
             bits = (stream < 0).astype(jnp.uint8)[:, :B]   # (raw, B)
             bits = bits.T.reshape(*lead, cfg.raw_bits_per_frame)
             zeros = jnp.zeros(lead, jnp.int32)
-            return bits, zeros, zeros
+            return bits, zeros, zeros, hist
         llr = self.coded_stream_llr(llr_like, lead)
+        bkt = self._hist16_of(llr[..., ::8])
+        hist = jnp.sum((bkt[..., None] == bins16).astype(jnp.int32), axis=-2)
         if cfg.fec == "ldpc":
             used = cfg.n_codewords * cfg.ldpc_n
             *lead_, _ = llr.shape
@@ -475,9 +679,9 @@ class Modem:
                 lw, cfg.ldpc_iters, with_diag=True)
             return (info.reshape(*lead_, cfg.payload_bits_per_frame),
                     jnp.max(it_cw, axis=-1),
-                    jnp.sum(unsat_cw.astype(jnp.int32), axis=-1))
+                    jnp.sum(unsat_cw.astype(jnp.int32), axis=-1), hist)
         zeros = jnp.zeros(lead, jnp.int32)
-        return hard_bits(llr), zeros, zeros
+        return hard_bits(llr), zeros, zeros, hist
 
     def demodulate_prewindowed(self, windows: jnp.ndarray,
                                sfo_correct: bool = False):
@@ -502,7 +706,7 @@ class Modem:
         delta = self._two_pass_delta(syms, sc_win) if sfo_correct else None
         lead = windows.shape[:-1]
         llr_like, (H, nv, slope, cpe, evm, mabs) = self._demod_syms(syms, delta=delta)
-        bits, fec_iters, fec_unsat = self._payload_bits(llr_like, lead)
+        bits, fec_iters, fec_unsat, llr_hist = self._payload_bits(llr_like, lead)
         ppm = slope_clock_offset(cfg, slope) * 1e6
         zeros = jnp.zeros(lead, jnp.int32)
         diag = DecodeDiag(
@@ -513,7 +717,7 @@ class Modem:
             noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
             mean_abs_llr=mabs,
             clock_ppm=jnp.broadcast_to(ppm, lead).astype(jnp.float32),
-            fec_iters=fec_iters, fec_unsat=fec_unsat,
+            fec_iters=fec_iters, fec_unsat=fec_unsat, llr_hist=llr_hist,
         )
         return bits, diag
 
@@ -534,17 +738,26 @@ class Modem:
 
         cfg = self.cfg
         lead = syms.shape[:-2]
+        use_split = False
         if use_pallas is None:
             from ..ops.pallas.fused_eq import fused_shapes_ok
-            from ..utils.device import computation_on_tpu
+            from ..utils.device import pallas_ok
             B = int(np.prod(lead)) if lead else 1
-            use_pallas = (computation_on_tpu() and cfg.strided_pilots
-                          and cfg.bit_loading is None
+            on = pallas_ok() and cfg.strided_pilots
+            use_pallas = (on and cfg.bit_loading is None
                           and fused_shapes_ok(cfg, B))
-        if use_pallas:
+            if not use_pallas and on:
+                # the monolithic kernel's VMEM refusals (64-QAM, every
+                # bit-loaded config) route to the two-kernel split before
+                # falling back to the XLA tail
+                from ..ops.pallas.split_eq import split_shapes_ok
+                use_split = split_shapes_ok(cfg, B)
+        if use_pallas or use_split:
             Y = self._deroll(ofdm_dft(cfg, syms, delta), roll)
             H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :], delta)
-            return self._fused_eq_demap(Y, H, noise_var, lead)
+            if use_pallas:
+                return self._fused_eq_demap(Y, H, noise_var, lead)
+            return self._split_eq_demap(Y, H, noise_var, lead)
         data, nv_eff, (H, noise_var, slope, cpe) = self._eq_syms(syms, delta, roll)
         if cfg.bit_loading is not None:
             from .frame import loaded_demap_llr
@@ -600,7 +813,7 @@ class Modem:
                  if sfo_correct else None)
         llr_like, (H, nv, slope, cpe, evm, mabs) = self._demod_syms(
             syms, delta=delta, roll=roll)
-        bits, fec_iters, fec_unsat = self._payload_bits(llr_like, lead)
+        bits, fec_iters, fec_unsat, llr_hist = self._payload_bits(llr_like, lead)
         # pilot slopes measure the full timing drift (= δ) on warped and
         # unwarped passes alike — no delta offset to add
         ppm = slope_clock_offset(cfg, slope) * 1e6
@@ -612,7 +825,7 @@ class Modem:
             noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
             mean_abs_llr=mabs,
             clock_ppm=jnp.broadcast_to(ppm, lead).astype(jnp.float32),
-            fec_iters=fec_iters, fec_unsat=fec_unsat,
+            fec_iters=fec_iters, fec_unsat=fec_unsat, llr_hist=llr_hist,
         )
         return bits, diag
 

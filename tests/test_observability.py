@@ -141,3 +141,26 @@ def test_fec_diag_zero_without_fec():
     wav = m.encode(b"nofec")
     res = m.decode(wav, start=0)
     assert int(res.diag.fec_iters) == 0 and int(res.diag.fec_unsat) == 0
+
+
+def test_llr_hist_diag(modem):
+    """DecodeDiag.llr_hist (SURVEY.md §6.5's named LLR-histogram item):
+    16 static log2 bins over a 1/8 subsample of the coded LLRs. A clean
+    high-SNR decode concentrates mass in high-|LLR| bins; a noise-only
+    decode sits in the low bins."""
+    rng = np.random.default_rng(4)
+    wav = modem.encode(b"hist check payload")
+    rx = awgn(delay_gain(wav.astype(np.float64), 300, 0.7,
+                         total_len=len(wav) + 1200), 30.0, rng)
+    res = modem.decode(rx)
+    assert res.crc_ok
+    h = np.asarray(res.diag.llr_hist)
+    assert h.shape == (16,) and h.sum() > 0
+    centers = np.arange(16)
+    mean_clean = float((h * centers).sum() / h.sum())
+
+    junk = (rng.normal(size=rx.shape) * 0.05).astype(np.float32)
+    hj = np.asarray(modem.decode(junk).diag.llr_hist)
+    assert hj.shape == (16,) and hj.sum() > 0
+    mean_junk = float((hj * centers).sum() / hj.sum())
+    assert mean_clean > mean_junk + 2.0

@@ -308,3 +308,111 @@ def test_stream_row_perm_layout_contract(bps):
     on[:, perm] = True
     assert np.isin(plane[on], (-1.0, 1.0)).all()
     assert (plane[~on] == 0.0).all()
+
+
+def test_lanes_row_idx_one_gather_matches_chain():
+    """The r5 one-gather FEC ingest (`Modem._lanes_row_idx`) composes the
+    plane-row permutation, interleaver inverse, and codeword split into a
+    single static index array — pinned here against the three-step chain it
+    replaced (pure NumPy, no jit)."""
+    from gf3x import GF3_STANDARD, Modem
+    from gf3x.models.frame import scatter_factors
+    from gf3x.ops.pallas.fused_eq import plane_rows, stream_row_perm
+
+    cfg = GF3_STANDARD
+    assert cfg.fec == "ldpc" and cfg.interleave
+    m = Modem(cfg)
+    D, LP = cfg.n_data_symbols, plane_rows(cfg)
+    R = cfg.bits_per_ofdm_symbol
+    ncw, z = cfg.n_codewords, cfg.ldpc_z
+    used = ncw * cfg.ldpc_n
+    Bp = 4
+    rng = np.random.default_rng(9)
+    llr_p = rng.standard_normal((D, LP, Bp)).astype(np.float32)
+
+    # the replaced chain: row gather → interleave inverse → codeword split
+    x = llr_p[:, stream_row_perm(cfg), :]                 # (D, R, Bp)
+    A2, B2 = scatter_factors(R)
+    stream = (x.reshape(D, B2, A2, Bp).transpose(2, 1, 0, 3)
+              .reshape(cfg.raw_bits_per_frame, Bp))
+    lam_old = (stream[:used].reshape(ncw, 24, z, Bp)
+               .transpose(1, 2, 0, 3).reshape(24, z, ncw * Bp))
+
+    idx = m._lanes_row_idx
+    assert idx.shape == (24, z, ncw)
+    lam_new = (llr_p.reshape(D * LP, Bp)[idx.reshape(-1)]
+               .reshape(24, z, ncw, Bp).reshape(24, z, ncw * Bp))
+    assert np.array_equal(lam_new, lam_old)
+
+    # and on a non-interleaved config the same property holds
+    cfg2 = GF3_STANDARD.replace(interleave=False)
+    m2 = Modem(cfg2)
+    x2 = llr_p[:, stream_row_perm(cfg2), :].reshape(cfg2.raw_bits_per_frame, Bp)
+    lam_old2 = (x2[:used].reshape(ncw, 24, z, Bp)
+                .transpose(1, 2, 0, 3).reshape(24, z, ncw * Bp))
+    lam_new2 = (llr_p.reshape(D * LP, Bp)[m2._lanes_row_idx.reshape(-1)]
+                .reshape(24, z, ncw, Bp).reshape(24, z, ncw * Bp))
+    assert np.array_equal(lam_new2, lam_old2)
+
+
+@pytest.mark.parametrize("mode", ["qam64", "qam16", "loaded"])
+def test_split_eq_demap_matches_xla(mode):
+    """The r5 two-kernel split tail (ops/pallas/split_eq, interpret mode;
+    tools/tpu_parity.py re-checks compiled Mosaic): EQ+track+derotate
+    kernel A feeding the bin-chunked demap kernel B equals the XLA twin —
+    hard decisions exact, soft LLRs and diag within the same tolerance the
+    monolithic-kernel test uses. Covers the two configs the monolithic
+    kernel refuses: 64-QAM and bit-loaded."""
+    import jax
+
+    from gf3x import Modem, ModemConfig
+    from gf3x.ops.chanest import estimate_channel
+    from gf3x.ops.ofdm import ofdm_demodulate
+
+    base = ModemConfig(
+        n_fft=256, cp=64, bin_lo=8, bin_hi=103, pilot_spacing=8,
+        n_known_symbols=2, n_data_symbols=12, chirp_duration=0.02,
+        fec="none", chanest_taps=0,
+    )
+    if mode == "loaded":
+        rng0 = np.random.default_rng(2)
+        tbl = tuple(int(x) for x in rng0.choice(
+            [0, 2, 4, 6], size=base.validate().n_data_bins,
+            p=[0.1, 0.4, 0.35, 0.15]))
+        cfg = base.replace(bits_per_symbol=2, bit_loading=tbl).validate()
+    else:
+        cfg = base.replace(
+            bits_per_symbol=6 if mode == "qam64" else 4).validate()
+    m = Modem(cfg)
+    rng = np.random.default_rng(7)
+    B = 4
+    info = rng.integers(0, 2, (B, cfg.payload_bits_per_frame), dtype=np.uint8)
+    wav = np.asarray(jax.jit(m.modulate_frames)(info))
+    a = cfg.preamble_len - cfg.cp // 4
+    need = (cfg.n_known_symbols + cfg.n_data_symbols) * cfg.symbol_len
+    body = wav[:, a: a + need] + rng.normal(0, 2e-3, (B, need))
+    body = jnp.asarray(body.astype(np.float32))
+
+    def xla_path(b):
+        llr, (H, nv, slope, cpe, evm, mabs) = m._demod_prewindowed(
+            b, use_pallas=False)
+        return m.coded_stream_llr(llr, b.shape[:-1]), slope, cpe, evm, mabs
+
+    def split_path(b):
+        syms = m._sym_matrix(b)
+        Y = ofdm_demodulate(cfg, b)
+        H, nv = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :])
+        fused, (_, _, slope, cpe, evm, mabs) = m._split_eq_demap(
+            Y, H, nv, b.shape[:-1], interpret=True)
+        return m.coded_stream_llr(fused, b.shape[:-1]), slope, cpe, evm, mabs
+
+    lx, sx, cx, ex, mx = jax.jit(xla_path)(body)
+    lp, sp_, cp_, ep, mp = jax.jit(split_path)(body)
+    lx, lp = np.asarray(lx), np.asarray(lp)
+    assert np.array_equal(lp < 0, lx < 0)                  # hard-exact
+    scale = float(np.mean(np.abs(lx)))
+    assert float(np.max(np.abs(lp - lx))) / scale < 0.03
+    assert np.allclose(np.asarray(sp_), np.asarray(sx), atol=1e-3)
+    assert np.allclose(np.asarray(cp_), np.asarray(cx), atol=1e-3)
+    assert np.allclose(np.asarray(ep), np.asarray(ex), rtol=0.05, atol=1e-6)
+    assert np.allclose(np.asarray(mp), np.asarray(mx), rtol=0.05)
