@@ -107,6 +107,16 @@ def matmul_flops_per_frame(cfg, search_len: int) -> float:
 #: for this receiver, which is HBM-bound by design (BASELINE.md).
 HBM_ROOFLINE = 819e9
 
+#: Protocol-pinned golden-CPU denominator (OFDM data symbols/s): the
+#: quiet-machine 20-frame-median measurement of the float64 golden decode
+#: (GF3_STANDARD, config-5 recording shape), recorded 2026-08-17 per
+#: BASELINE.md "Measurement protocol". The per-run measurement on this
+#: SHARED box scatters 750–3100 sym/s with load (VERDICT r4 weak #5b), so
+#: the headline ≥100× ratio is reported against BOTH: the live per-run
+#: number (`vs_baseline`, honest to this run) and this constant
+#: (`vs_baseline_protocol`, comparable across rounds).
+GOLDEN_PROTOCOL_SPS = 3083.6
+
 
 def hbm_bytes_per_step(cfg, T: int, B: int, search_len: int) -> dict:
     """Bytes-touched model of one full-path decode step (reads + writes per
@@ -302,6 +312,8 @@ def main():
             "hbm_stage_mb": {k: round(v / 1e6, 1) for k, v in hbm.items()},
             "prewindowed_symbols_per_sec": round(win_sps, 1),
             "golden_cpu_symbols_per_sec": round(golden_sps, 1),
+            "golden_cpu_protocol_sps": GOLDEN_PROTOCOL_SPS,
+            "vs_baseline_protocol": round(tpu_sps / GOLDEN_PROTOCOL_SPS, 1),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -66,7 +66,7 @@ def ber_sweep(
         # is identical in either domain.
         lead = rx.shape[:-1]
         llr_like, _ = modem._demod_at(rx, start)
-        bits, _, _ = modem._payload_bits(llr_like, lead)
+        bits, _, _, _ = modem._payload_bits(llr_like, lead)
         post = jnp.mean((bits != info).astype(jnp.float32), axis=(1, 2))
         fer = jnp.mean(
             jnp.any(bits != info, axis=-1).astype(jnp.float32), axis=-1)

@@ -65,6 +65,16 @@ class DecodeDiag(NamedTuple):
     fec_unsat: jnp.ndarray       # (...,) int32 — codewords whose final hard
                                  # decisions still violate a parity check
                                  # (the decoder gave up; 0 = all converged)
+    isi_var: jnp.ndarray         # (..., n_used) f32 — per-bin beyond-CP
+                                 # ISI floor (ops.chanest.isi_profile): the
+                                 # channel-tail response power at each bin,
+                                 # same units as noise_var; ≈0 on channels
+                                 # inside the timing budget. Adaptation
+                                 # reads it so long-room probes stop
+                                 # recommending presets whose room FER is 1
+    isi_db: jnp.ndarray          # (...,) f32 — tail/total channel energy in
+                                 # dB (−inf-ish ≪ −40 on clean channels);
+                                 # the scalar room-honesty figure
     llr_hist: jnp.ndarray        # (..., 16) int32 — per-decode |LLR|
                                  # histogram (SURVEY.md §6.5): bin k counts
                                  # demapper LLRs with |llr| ∈ [2^(k-2),
@@ -545,7 +555,8 @@ class Modem:
         cfg = self.cfg
         lay = layout(cfg)
         Y = self._deroll(ofdm_dft(cfg, syms, delta), roll)
-        H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :], delta)
+        H, noise_var, isi = estimate_channel(
+            cfg, Y[..., : cfg.n_known_symbols, :], delta, with_isi=True)
         eq = equalize(H, Y[..., cfg.n_known_symbols:, :])
         eq, slope, cpe = pilot_phase_correct(cfg, eq, H)
         pil, data = split_pilots(cfg, eq)                      # (..., D, n_data_bins)
@@ -569,7 +580,7 @@ class Modem:
                                       (*noise_var.shape, cfg.n_data_symbols))
         _, inv_csi = split_pilots(cfg, 1.0 / jnp.maximum(csi, 1e-12))
         nv_eff = nv_sym[..., None] * inv_csi[..., None, :]     # (..., D, n_data_bins)
-        return data, nv_eff, (H, noise_var, slope, cpe)
+        return data, nv_eff, (H, noise_var, slope, cpe, *isi)
 
     def equalized_symbols(self, rx: np.ndarray, start: Optional[int] = None) -> np.ndarray:
         """Host API for constellation plots/analysis: the equalized,
@@ -705,7 +716,8 @@ class Modem:
             sc_win = windows[..., o: o + cfg.n_fft]
         delta = self._two_pass_delta(syms, sc_win) if sfo_correct else None
         lead = windows.shape[:-1]
-        llr_like, (H, nv, slope, cpe, evm, mabs) = self._demod_syms(syms, delta=delta)
+        llr_like, (H, nv, slope, cpe, evm, mabs, isi_var, isi_ratio) = \
+            self._demod_syms(syms, delta=delta)
         bits, fec_iters, fec_unsat, llr_hist = self._payload_bits(llr_like, lead)
         ppm = slope_clock_offset(cfg, slope) * 1e6
         zeros = jnp.zeros(lead, jnp.int32)
@@ -717,7 +729,10 @@ class Modem:
             noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
             mean_abs_llr=mabs,
             clock_ppm=jnp.broadcast_to(ppm, lead).astype(jnp.float32),
-            fec_iters=fec_iters, fec_unsat=fec_unsat, llr_hist=llr_hist,
+            fec_iters=fec_iters, fec_unsat=fec_unsat,
+            isi_var=isi_var,
+            isi_db=10.0 * jnp.log10(isi_ratio + 1e-12),
+            llr_hist=llr_hist,
         )
         return bits, diag
 
@@ -754,17 +769,22 @@ class Modem:
                 use_split = split_shapes_ok(cfg, B)
         if use_pallas or use_split:
             Y = self._deroll(ofdm_dft(cfg, syms, delta), roll)
-            H, noise_var = estimate_channel(cfg, Y[..., : cfg.n_known_symbols, :], delta)
+            H, noise_var, isi = estimate_channel(
+                cfg, Y[..., : cfg.n_known_symbols, :], delta, with_isi=True)
             if use_pallas:
-                return self._fused_eq_demap(Y, H, noise_var, lead)
-            return self._split_eq_demap(Y, H, noise_var, lead)
-        data, nv_eff, (H, noise_var, slope, cpe) = self._eq_syms(syms, delta, roll)
+                llr_like, d6 = self._fused_eq_demap(Y, H, noise_var, lead)
+            else:
+                llr_like, d6 = self._split_eq_demap(Y, H, noise_var, lead)
+            return llr_like, (*d6, *isi)
+        data, nv_eff, (H, noise_var, slope, cpe, isi_var, isi_ratio) = \
+            self._eq_syms(syms, delta, roll)
         if cfg.bit_loading is not None:
             from .frame import loaded_demap_llr
             llr2, evm = loaded_demap_llr(cfg, data, nv_eff)   # (..., D, R)
             llr = llr2.reshape(*lead, cfg.raw_bits_per_frame)
             mabs = jnp.mean(jnp.abs(llr), axis=-1)
-            return llr, (H, noise_var, slope, cpe, evm, mabs)
+            return llr, (H, noise_var, slope, cpe, evm, mabs,
+                         isi_var, isi_ratio)
         llr3 = qam_demap_llr(
             data, jnp.broadcast_to(nv_eff, data.shape), cfg.bits_per_symbol
         )
@@ -772,7 +792,7 @@ class Modem:
         evm = jnp.mean(jnp.abs(data - qam_map(hard, cfg.bits_per_symbol)) ** 2, axis=(-2, -1))
         llr = llr3.reshape(*lead, cfg.raw_bits_per_frame)
         mabs = jnp.mean(jnp.abs(llr), axis=-1)
-        return llr, (H, noise_var, slope, cpe, evm, mabs)
+        return llr, (H, noise_var, slope, cpe, evm, mabs, isi_var, isi_ratio)
 
     def _two_pass_delta(self, syms: jnp.ndarray, sc_win: Optional[jnp.ndarray],
                         roll=None):
@@ -794,7 +814,7 @@ class Modem:
             d0 = jnp.median(sc_clock_offset(cfg, sc_win))
         else:
             d0 = jnp.float32(0.0)
-        _, (_, _, slope_a, _, _, _) = self._demod_syms(syms, delta=d0, roll=roll)
+        _, (_, _, slope_a, *_rest) = self._demod_syms(syms, delta=d0, roll=roll)
         return jnp.median(slope_clock_offset(cfg, slope_a))
 
     def _demod_synced(self, rx: jnp.ndarray, start: jnp.ndarray,
@@ -811,8 +831,8 @@ class Modem:
         syms, sc_win, roll = self._cut_frame(rx, start, bounded=bounded)
         delta = (self._two_pass_delta(syms, sc_win, roll)
                  if sfo_correct else None)
-        llr_like, (H, nv, slope, cpe, evm, mabs) = self._demod_syms(
-            syms, delta=delta, roll=roll)
+        llr_like, (H, nv, slope, cpe, evm, mabs, isi_var, isi_ratio) = \
+            self._demod_syms(syms, delta=delta, roll=roll)
         bits, fec_iters, fec_unsat, llr_hist = self._payload_bits(llr_like, lead)
         # pilot slopes measure the full timing drift (= δ) on warped and
         # unwarped passes alike — no delta offset to add
@@ -825,7 +845,10 @@ class Modem:
             noise_var=nv, pilot_slope=slope, common_phase=cpe, evm=evm,
             mean_abs_llr=mabs,
             clock_ppm=jnp.broadcast_to(ppm, lead).astype(jnp.float32),
-            fec_iters=fec_iters, fec_unsat=fec_unsat, llr_hist=llr_hist,
+            fec_iters=fec_iters, fec_unsat=fec_unsat,
+            isi_var=isi_var,
+            isi_db=10.0 * jnp.log10(isi_ratio + 1e-12),
+            llr_hist=llr_hist,
         )
         return bits, diag
 
@@ -1036,7 +1059,7 @@ class Modem:
         def joint(sy, sc, ro):
             d0 = (sc_clock_offset(self.cfg, sc, pool=True)
                   if sc is not None else jnp.float32(0.0))
-            _, (_, _, slope_a, _, _, _) = self._demod_syms(
+            _, (_, _, slope_a, *_rest) = self._demod_syms(
                 sy, delta=d0, roll=ro)
             return jnp.median(slope_clock_offset(self.cfg, slope_a))
 

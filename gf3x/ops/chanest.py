@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..config import ModemConfig, layout
 
 __all__ = ["estimate_channel", "equalize", "pilot_phase_correct",
-           "denoise_projection"]
+           "denoise_projection", "isi_profile"]
 
 import functools
 
@@ -43,10 +43,77 @@ def denoise_projection(cfg: ModemConfig) -> np.ndarray:
     return P.astype(np.complex64)
 
 
-def estimate_channel(cfg: ModemConfig, known_rx: jnp.ndarray, delta=None):
+@functools.lru_cache(maxsize=None)
+def _isi_operator(cfg: ModemConfig):
+    """Host tables of the beyond-CP ISI measure: (M, q, t0) — or None when
+    the config's geometry leaves no measurable tail window.
+
+    The used-band LS Ĥ of a channel longer than the receiver's timing
+    budget carries the tail's response: fit the RAW Ĥ exactly with an
+    n_used-tap impulse response (square regularized LS on the band-limited
+    DFT submatrix), recenter the bulk delay to tap t0, and read the energy
+    at taps beyond t0 + (cp − backoff) — arrivals the cut window cannot
+    cover, i.e. inter-symbol interference. M = W[:, tail]·W⁻¹[tail, :] maps
+    Ĥ to the tail's per-bin response in one (U×U) matmul; q[k] = Σ_j|M_kj|²
+    is the per-bin noise gain used to subtract the estimator-noise share
+    (white Ĥ noise of variance σ² contributes σ²·q[k] to |{MĤ}(k)|²)."""
+    U, N, cp = cfg.n_used, cfg.n_fft, cfg.cp
+    t0 = min(16, U // 8)
+    safe = t0 + cp - cp // 4
+    if safe >= U - 4:
+        return None                       # tail window empty: nothing to see
+    k = np.arange(cfg.bin_lo, cfg.bin_hi + 1, dtype=np.float64)
+    t = np.arange(U, dtype=np.float64)
+    W = np.exp(-2j * np.pi * np.outer(k, t) / N)
+    G = W.conj().T @ W + 1e-6 * U * np.eye(U)
+    Winv = np.linalg.solve(G, W.conj().T)
+    tail = np.arange(U) >= safe
+    M = (W[:, tail] @ Winv[tail, :]).astype(np.complex64)
+    q = np.sum(np.abs(M) ** 2, axis=1).astype(np.float32)
+    return M, q, t0
+
+
+def isi_profile(cfg: ModemConfig, H_raw: jnp.ndarray, noise_var: jnp.ndarray):
+    """Beyond-CP ISI floor from the RAW LS Ĥ (SURVEY.md §6.3; VERDICT r4
+    weak #4): (isi_var (..., n_used) f32 — per-bin tail-response power, an
+    additive noise-floor term in the same units as `noise_var` — and
+    isi_ratio (...,) f32 — tail/total channel energy, the scalar room
+    honesty figure; both exact zeros when the geometry has no tail window).
+
+    Uses the raw (pre-denoise) Ĥ: the denoiser projects onto ≤ est_taps
+    taps and would erase exactly the energy this measures. The estimator-
+    noise share (σ̂²/K through the tail operator's per-bin gain) is
+    subtracted, so on an AWGN channel the profile reads ≈ 0 instead of
+    echoing the noise floor."""
+    op = _isi_operator(cfg)
+    if op is None:
+        z = jnp.zeros(H_raw.shape[:-1] + (cfg.n_used,), jnp.float32)
+        return z, jnp.zeros(H_raw.shape[:-1], jnp.float32)
+    M, q, t0 = op
+    k = jnp.arange(cfg.bin_lo, cfg.bin_hi + 1, dtype=jnp.float32)
+    inc = H_raw[..., 1:] * jnp.conj(H_raw[..., :-1])
+    a = jnp.angle(jnp.sum(inc, axis=-1))
+    s_hat = jnp.round(-a * np.float32(cfg.n_fft / (2.0 * np.pi)))
+    r0 = (s_hat - t0)[..., None]
+    ang = jnp.float32(2.0 * np.pi / cfg.n_fft) * k * r0
+    ramp = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+    Ht = (H_raw * ramp) @ jnp.asarray(M).T
+    sigH2 = (noise_var / np.float32(cfg.n_known_symbols))[..., None]
+    isi = jnp.maximum(jnp.abs(Ht) ** 2 - sigH2 * jnp.asarray(q), 0.0)
+    num = jnp.mean(isi, axis=-1)
+    den = jnp.mean(jnp.abs(H_raw) ** 2, axis=-1)
+    return isi.astype(jnp.float32), (num / jnp.maximum(den, 1e-12)
+                                     ).astype(jnp.float32)
+
+
+def estimate_channel(cfg: ModemConfig, known_rx: jnp.ndarray, delta=None,
+                     with_isi: bool = False):
     """LS: Ĥ[k] = mean_r(Y_r[k]/X_r[k]); scalar residual noise variance.
 
-    known_rx: (..., K, n_used) complex64 → (Ĥ (..., n_used), noise_var (...,)).
+    known_rx: (..., K, n_used) complex64 → (Ĥ (..., n_used), noise_var (...,)),
+    plus (isi_var, isi_ratio) from `isi_profile` of the RAW Ĥ when
+    `with_isi` (the raw estimate only exists inside this function — the
+    returned Ĥ is denoised, which erases the tail the profile measures).
     SURVEY.md Appendix "LS channel estimate".
 
     `delta` (traced scalar clock offset) derotates each known symbol's
@@ -68,6 +135,7 @@ def estimate_channel(cfg: ModemConfig, known_rx: jnp.ndarray, delta=None):
     # post-EQ noise figure for the LLR scaling
     resid = known_rx - H[..., None, :] * X
     noise_var = jnp.mean(jnp.abs(resid) ** 2, axis=(-2, -1))
+    isi = isi_profile(cfg, H, noise_var) if with_isi else None
     if cfg.est_taps:
         # Recenter the bulk delay before projecting: a window cut s samples
         # before the impulse response puts the IR at tap s, and taps beyond
@@ -85,6 +153,8 @@ def estimate_channel(cfg: ModemConfig, known_rx: jnp.ndarray, delta=None):
         ramp = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
         P = jnp.asarray(denoise_projection(cfg))
         H = ((H * ramp) @ P.T) * jnp.conj(ramp)          # Ĥ'[j] = Σ_k P[j,k]·Ĥ[k]
+    if with_isi:
+        return H, noise_var, isi
     return H, noise_var
 
 

@@ -64,7 +64,7 @@ def test_fused_eq_demap_matches_xla(bps):
     body = wav[:, a: a + need] + rng.normal(0, 3e-3, (2, need)).astype(np.float32)
     body = jnp.asarray(body.astype(np.float32))
 
-    llr_x, (_, _, sl_x, cp_x, evm_x, mabs_x) = m._demod_prewindowed(
+    llr_x, (_, _, sl_x, cp_x, evm_x, mabs_x, *_r) = m._demod_prewindowed(
         body, use_pallas=False)
     # bring the XLA LLRs to the descrambled coded-stream order the fused
     # path emits (its descrambler is folded into the kernel)
@@ -394,7 +394,7 @@ def test_split_eq_demap_matches_xla(mode):
     body = jnp.asarray(body.astype(np.float32))
 
     def xla_path(b):
-        llr, (H, nv, slope, cpe, evm, mabs) = m._demod_prewindowed(
+        llr, (H, nv, slope, cpe, evm, mabs, *_r) = m._demod_prewindowed(
             b, use_pallas=False)
         return m.coded_stream_llr(llr, b.shape[:-1]), slope, cpe, evm, mabs
 

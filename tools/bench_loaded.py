@@ -55,7 +55,7 @@ def time_variant(modem, win_np, payload, use_pallas):
     def decode_win(w):
         syms = modem._sym_matrix(w[..., a: a + need])
         llr_like, _ = modem._demod_syms(syms, use_pallas=use_pallas)
-        bits, _, _ = modem._payload_bits(llr_like, w.shape[:-1])
+        bits, _, _, _ = modem._payload_bits(llr_like, w.shape[:-1])
         return bits
 
     @jax.jit

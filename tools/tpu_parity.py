@@ -114,11 +114,15 @@ def main() -> int:
         check(f"fused_eq:{bps}bps", hard_ok and soft_err < 0.03,
               f"max soft err {soft_err:.2e} of mean |LLR|")
 
-    # 64-QAM: the router must refuse the fused kernel (scoped-VMEM overflow,
-    # see fused_shapes_ok) and the XLA twin must decode a coded gf3-turbo
-    # frame end to end on the chip
+    # 64-QAM: the router must refuse the MONOLITHIC kernel (scoped-VMEM
+    # overflow, see fused_shapes_ok) and take the r5 two-kernel SPLIT tail
+    # (ops/pallas/split_eq) instead; a coded gf3-turbo frame must decode
+    # end to end on the chip through it
+    from gf3x.ops.pallas.split_eq import split_shapes_ok
+
     cfg6 = preset("gf3-turbo")
     assert not fused_shapes_ok(cfg6, 1024)
+    assert split_shapes_ok(cfg6, 1024)
     m6 = Modem(cfg6)
     rng = np.random.default_rng(66)
     pay6 = bytes(rng.integers(0, 256, 1200, dtype=np.uint8))
@@ -127,8 +131,50 @@ def main() -> int:
     rx6[1500: 1500 + wav6.size] = 0.6 * wav6
     rx6 += (rng.standard_normal(rx6.size) * 3e-3).astype(np.float32)
     r6 = m6.decode(rx6)
-    check("qam64_xla_twin_decode", r6.crc_ok and r6.payload == pay6,
-          "gf3-turbo on-chip decode via the XLA tail")
+    check("qam64_split_decode", r6.crc_ok and r6.payload == pay6,
+          "gf3-turbo on-chip decode via the split Pallas tail")
+
+    # 2b. compiled split kernels ≡ XLA twin at the bench batch: hard
+    # decisions exact, soft LLRs within the monolithic check's tolerance —
+    # at 64-QAM (uniform split) AND a bit-loaded gf3-standard config
+    # (per-group split), the two shapes CI can only interpret
+    from gf3x.ops.ofdm import ofdm_demodulate as _odm
+
+    cfgL0 = GF3_STANDARD.replace(bit_loading=tuple(
+        int(x) for x in np.random.default_rng(5).choice(
+            [0, 2, 4, 6], size=GF3_STANDARD.n_data_bins,
+            p=[0.1, 0.4, 0.35, 0.15])), fec="none", chanest_taps=0)
+    for label, cfgS in (("qam64", cfg6.replace(fec="none", chanest_taps=0)),
+                        ("loaded", cfgL0)):
+        mS = Modem(cfgS)
+        rngS = np.random.default_rng(31)
+        B = 1024
+        infoS = rngS.integers(0, 2, (B, cfgS.payload_bits_per_frame),
+                              dtype=np.uint8)
+        wavS = np.asarray(mS._encode_jit(jnp.asarray(infoS)))
+        aS = cfgS.preamble_len - cfgS.cp // 4
+        needS = (cfgS.n_known_symbols + cfgS.n_data_symbols) * cfgS.symbol_len
+        bodyS = wavS[:, aS: aS + needS] + rngS.normal(0, 3e-3, (B, needS))
+        bodyS = jnp.asarray(bodyS.astype(np.float32))
+
+        def xla_s(b, mS=mS):
+            llr, _ = mS._demod_prewindowed(b, use_pallas=False)
+            return mS.coded_stream_llr(llr, b.shape[:-1])
+
+        def split_s(b, mS=mS, cfgS=cfgS):
+            from gf3x.ops.chanest import estimate_channel as _ec
+            Y = _odm(cfgS, b)
+            H, nv = _ec(cfgS, Y[..., : cfgS.n_known_symbols, :])
+            fused, _ = mS._split_eq_demap(Y, H, nv, b.shape[:-1])
+            return mS.coded_stream_llr(fused, b.shape[:-1])
+
+        lx = np.asarray(jax.jit(xla_s)(bodyS))
+        lp = np.asarray(jax.jit(split_s)(bodyS))
+        hard_ok = np.array_equal(lp < 0, lx < 0)
+        scale = float(np.mean(np.abs(lx)))
+        soft_err = float(np.max(np.abs(lp - lx))) / (scale + 1e-12)
+        check(f"split_eq:{label}", hard_ok and soft_err < 0.03,
+              f"max soft err {soft_err:.2e} of mean |LLR|")
 
     # ---- 3. Pallas LDPC vs XLA min-sum, bit-exact + diag
     from gf3x.fec.codes import N_BLOCK_COLS
