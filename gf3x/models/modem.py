@@ -374,22 +374,44 @@ class Modem:
             x = x.reshape(D, B2, A2, Bp).transpose(2, 1, 0, 3)
         return x.reshape(cfg.raw_bits_per_frame, Bp)
 
+    def _ri_prep(self, Y: jnp.ndarray, H: jnp.ndarray,
+                 noise_var: jnp.ndarray, lead: tuple):
+        """Complex (…, S, U) bins + Ĥ → the kernels' lanes-layout inputs
+        (y_ri (D, 2, U, B), h_ri (2, U, B), nv8 (8, B)). Compatibility prep
+        for callers holding complex Y (tests, tools); the production router
+        feeds the kernels from `ofdm_dft_lanes` and skips the 40 MB
+        transpose this pays (tools/bench_relayout.py)."""
+        cfg = self.cfg
+        B = int(np.prod(lead)) if lead else 1
+        D = cfg.n_data_symbols
+        Yd = Y[..., cfg.n_known_symbols:, :].reshape(B, D, cfg.n_used)
+        y_ri = jnp.stack([Yd.real, Yd.imag], axis=1).transpose(2, 1, 3, 0)
+        h_ri = jnp.stack([H.real, H.imag], axis=0).reshape(
+            2, B, cfg.n_used).transpose(0, 2, 1)
+        nv8 = jnp.zeros((8, B), jnp.float32).at[0].set(noise_var.reshape(B))
+        return y_ri, h_ri, nv8
+
     def _fused_eq_demap(self, Y: jnp.ndarray, H: jnp.ndarray,
                         noise_var: jnp.ndarray, lead: tuple,
                         interpret: bool = False):
-        """Post-estimate tail on the fused Pallas kernel (shared by the
-        sync-included and prewindowed decode paths). Returns
-        (_FusedLlr, (H, nv, slope, cpe, evm, mean_abs_llr))."""
+        """Post-estimate tail on the fused Pallas kernel, from complex Y
+        (compat entry; the router calls `_fused_tail` on lanes tensors).
+        Returns (_FusedLlr, (H, nv, slope, cpe, evm, mean_abs_llr))."""
+        y_ri, h_ri, nv8 = self._ri_prep(Y, H, noise_var, lead)
+        return self._fused_tail(y_ri, h_ri, nv8, H, noise_var, lead,
+                                interpret)
+
+    def _fused_tail(self, y_ri: jnp.ndarray, h_ri: jnp.ndarray,
+                    nv8: jnp.ndarray, H, noise_var, lead: tuple,
+                    interpret: bool = False):
+        """Monolithic fused kernel on lanes-layout inputs: y_ri
+        (D, 2, U, B), h_ri (2, U, B), nv8 (8, B)."""
         from ..ops.pallas.fused_eq import LANES, fused_eq_demap_tpu
 
         cfg = self.cfg
         B = int(np.prod(lead)) if lead else 1
         Bp = -(-B // LANES) * LANES
         D = cfg.n_data_symbols
-        Yd = Y[..., cfg.n_known_symbols:, :].reshape(B, D, cfg.n_used)
-        y_ri = jnp.stack([Yd.real, Yd.imag], axis=1).transpose(2, 1, 3, 0)
-        h_ri = jnp.stack([H.real, H.imag], axis=0).reshape(2, B, cfg.n_used).transpose(0, 2, 1)
-        nv8 = jnp.zeros((8, B), jnp.float32).at[0].set(noise_var.reshape(B))
         if Bp != B:
             y_ri = jnp.pad(y_ri, ((0, 0), (0, 0), (0, 0), (0, Bp - B)))
             h_ri = jnp.pad(h_ri, ((0, 0), (0, 0), (0, Bp - B)),
@@ -456,10 +478,18 @@ class Modem:
                         interpret: bool = False):
         """Post-estimate tail on the TWO-KERNEL split (`ops.pallas.split_eq`)
         — the constellations the monolithic kernel's VMEM cannot hold:
-        64-QAM and every bit-loaded config. Kernel A equalizes + tracks +
-        derotates (constellation-independent); kernel B demaps, chunked
-        over bins (per group when loaded). Same return contract as
-        `_fused_eq_demap`."""
+        64-QAM and every bit-loaded config, from complex Y (compat entry;
+        the router calls `_split_tail` on lanes tensors). Kernel A
+        equalizes + tracks + derotates (constellation-independent);
+        kernel B demaps, chunked over bins (per group when loaded). Same
+        return contract as `_fused_eq_demap`."""
+        y_ri, h_ri, nv8 = self._ri_prep(Y, H, noise_var, lead)
+        return self._split_tail(y_ri, h_ri, nv8, H, noise_var, lead,
+                                interpret)
+
+    def _split_tail(self, y_ri: jnp.ndarray, h_ri: jnp.ndarray,
+                    nv8: jnp.ndarray, H, noise_var, lead: tuple,
+                    interpret: bool = False):
         from ..ops.pallas.fused_eq import LANES, stream_row_perm
         from ..ops.pallas.split_eq import demap_bins_tpu, eq_track_tpu
 
@@ -467,11 +497,6 @@ class Modem:
         B = int(np.prod(lead)) if lead else 1
         Bp = -(-B // LANES) * LANES
         D = cfg.n_data_symbols
-        Yd = Y[..., cfg.n_known_symbols:, :].reshape(B, D, cfg.n_used)
-        y_ri = jnp.stack([Yd.real, Yd.imag], axis=1).transpose(2, 1, 3, 0)
-        h_ri = jnp.stack([H.real, H.imag], axis=0).reshape(
-            2, B, cfg.n_used).transpose(0, 2, 1)
-        nv8 = jnp.zeros((8, B), jnp.float32).at[0].set(noise_var.reshape(B))
         if Bp != B:
             y_ri = jnp.pad(y_ri, ((0, 0), (0, 0), (0, 0), (0, Bp - B)))
             h_ri = jnp.pad(h_ri, ((0, 0), (0, 0), (0, Bp - B)),
@@ -519,6 +544,19 @@ class Modem:
                 / jnp.float32(cfg.raw_bits_per_frame)).reshape(lead)
         return (_FusedLlr(llr_p, B, rows, tag),
                 (H, noise_var, slope, cpe, evm, mabs))
+
+    def _deroll_lanes(self, Yl: jnp.ndarray, roll) -> jnp.ndarray:
+        """`_deroll` in the kernels' lanes layout: Yl (S, 2, U, B);
+        roll (...,) → B flat. Same phase ramp, real/imag planes."""
+        cfg = self.cfg
+        if roll is None:
+            return Yl
+        k = jnp.arange(cfg.bin_lo, cfg.bin_hi + 1, dtype=jnp.float32)[:, None]
+        ang = (jnp.float32(2.0 * np.pi / cfg.n_fft)
+               * roll.astype(jnp.float32).reshape(-1)[None, :] * k)  # (U, B)
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        re, im = Yl[:, 0], Yl[:, 1]
+        return jnp.stack([re * c - im * s, im * c + re * s], axis=1)
 
     def _deroll(self, Y: jnp.ndarray, roll) -> jnp.ndarray:
         """Undo a known early window cut of `roll` samples (gather_cut):
@@ -768,14 +806,32 @@ class Modem:
                 from ..ops.pallas.split_eq import split_shapes_ok
                 use_split = split_shapes_ok(cfg, B)
         if use_pallas or use_split:
-            Y = self._deroll(ofdm_dft(cfg, syms, delta), roll)
-            H, noise_var, isi = estimate_channel(
-                cfg, Y[..., : cfg.n_known_symbols, :], delta, with_isi=True)
-            if use_pallas:
-                llr_like, d6 = self._fused_eq_demap(Y, H, noise_var, lead)
-            else:
-                llr_like, d6 = self._split_eq_demap(Y, H, noise_var, lead)
-            return llr_like, (*d6, *isi)
+            from ..ops.ofdm import ofdm_dft_lanes
+
+            # DFT straight into the kernels' (S, 2, U, B) lanes layout —
+            # the einsum emits the batch-minor layout inside the matmul
+            # epilogue; the matmul-then-transpose form measured 0.86 vs
+            # 0.56 ms at bench geometry (tools/bench_relayout.py)
+            B = int(np.prod(lead)) if lead else 1
+            K = cfg.n_known_symbols
+            syms2 = syms.reshape(B, K + cfg.n_data_symbols, cfg.n_fft)
+            Yl = self._deroll_lanes(ofdm_dft_lanes(cfg, syms2, delta), roll)
+            # known symbols back to (B, K, U) complex for the (tiny) LS
+            # estimate — K·U·B floats, ~2 % of the plane the old path
+            # transposed
+            Yk = jax.lax.complex(Yl[:K, 0], Yl[:K, 1]).transpose(2, 0, 1)
+            H, noise_var, (isi_v, isi_r) = estimate_channel(
+                cfg, Yk, delta, with_isi=True)
+            h_ri = jnp.stack([H.real, H.imag], axis=0).transpose(0, 2, 1)
+            nv8 = jnp.zeros((8, B), jnp.float32).at[0].set(noise_var)
+            tail = self._fused_tail if use_pallas else self._split_tail
+            # diag tensors restored to the caller's lead shape (the flat-B
+            # views above exist only for the kernels' lanes layout)
+            llr_like, d6 = tail(Yl[K:], h_ri, nv8,
+                                H.reshape(*lead, cfg.n_used),
+                                noise_var.reshape(lead), lead)
+            return llr_like, (*d6, isi_v.reshape(*lead, cfg.n_used),
+                              isi_r.reshape(lead))
         data, nv_eff, (H, noise_var, slope, cpe, isi_var, isi_ratio) = \
             self._eq_syms(syms, delta, roll)
         if cfg.bit_loading is not None:

@@ -416,3 +416,43 @@ def test_split_eq_demap_matches_xla(mode):
     assert np.allclose(np.asarray(cp_), np.asarray(cx), atol=1e-3)
     assert np.allclose(np.asarray(ep), np.asarray(ex), rtol=0.05, atol=1e-6)
     assert np.allclose(np.asarray(mp), np.asarray(mx), rtol=0.05)
+
+
+def test_ofdm_dft_lanes_matches_reference():
+    """`ofdm_dft_lanes` (the r5 einsum DFT emitting the kernels' lanes
+    layout inside the matmul epilogue) equals the rfft reference and
+    `_deroll_lanes` equals `_deroll`, on CPU at f32 tolerance."""
+    import jax
+
+    from gf3x import GF3_STANDARD, Modem
+    from gf3x.ops.ofdm import ofdm_dft, ofdm_dft_lanes
+
+    cfg = GF3_STANDARD.replace(n_data_symbols=4, fec="none")
+    m = Modem(cfg)
+    S = cfg.n_known_symbols + cfg.n_data_symbols
+    rng = np.random.default_rng(5)
+    B = 3
+    x = jnp.asarray(rng.standard_normal((B, S, cfg.n_fft)).astype(np.float32))
+    Yl = np.asarray(jax.jit(lambda a: ofdm_dft_lanes(cfg, a))(x))
+    Yc = np.asarray(jax.jit(lambda a: jnp.stack(
+        [(Y := ofdm_dft(cfg, a)).real, Y.imag], 0))(x))   # (2, B, S, U)
+    ref = Yc.transpose(2, 0, 3, 1)                        # (S, 2, U, B)
+    scale = np.mean(np.abs(ref))
+    assert np.max(np.abs(Yl - ref)) < 1e-3 * scale
+
+    # warped (delta) form too
+    d = jnp.float32(3e-4)
+    Yld = np.asarray(jax.jit(lambda a: ofdm_dft_lanes(cfg, a, d))(x))
+    Ycd = np.asarray(jax.jit(lambda a: jnp.stack(
+        [(Y := ofdm_dft(cfg, a, d)).real, Y.imag], 0))(x))
+    refd = Ycd.transpose(2, 0, 3, 1)
+    assert np.max(np.abs(Yld - refd)) < 1e-3 * np.mean(np.abs(refd))
+
+    # deroll parity between the complex and lanes forms
+    roll = jnp.asarray(np.array([5, 0, 37], np.int32))
+    Zl = np.asarray(jax.jit(lambda a, r: m._deroll_lanes(
+        ofdm_dft_lanes(cfg, a), r))(x, roll))
+    Zc = np.asarray(jax.jit(lambda a, r: jnp.stack(
+        [(Y := m._deroll(ofdm_dft(cfg, a), r)).real, Y.imag], 0))(x, roll))
+    refz = Zc.transpose(2, 0, 3, 1)
+    assert np.max(np.abs(Zl - refz)) < 2e-3 * np.mean(np.abs(refz))

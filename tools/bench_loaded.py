@@ -105,15 +105,45 @@ def main():
     cfgL = hicap.replace(bit_loading=table)
     mL = Modem(cfgL)
     winL, payL = build_windows(mL, rng)
-    dt = time_variant(mL, winL, payL, None)   # router: XLA loaded tail
-    out["hicap_loaded"] = {
+    # router (use_pallas=None): since r5 this lands on the two-kernel
+    # SPLIT Pallas tail; use_pallas=False pins the old XLA loaded tail
+    # for the before/after
+    dt = time_variant(mL, winL, payL, None)
+    out["hicap_loaded_split"] = {
         "step_ms": round(dt * 1e3, 3),
         "symbols_per_sec": round(B * cfgL.n_data_symbols / dt, 1),
         "bits_per_ofdm_symbol": cfgL.bits_per_ofdm_symbol,
     }
+    dtx = time_variant(mL, winL, payL, False)
+    out["hicap_loaded_xla"] = {
+        "step_ms": round(dtx * 1e3, 3),
+        "symbols_per_sec": round(B * cfgL.n_data_symbols / dtx, 1),
+    }
+
+    # gf3-turbo (uniform 64-QAM): split tail vs the XLA tail it replaces
+    turbo = preset("gf3-turbo")
+    mt = Modem(turbo)
+    winT, payT = build_windows(mt, rng)
+    dts = time_variant(mt, winT, payT, None)      # router → split (r5)
+    dtxt = time_variant(mt, winT, payT, False)
+    out["turbo_split"] = {
+        "step_ms": round(dts * 1e3, 3),
+        "symbols_per_sec": round(B * turbo.n_data_symbols / dts, 1)}
+    out["turbo_xla"] = {
+        "step_ms": round(dtxt * 1e3, 3),
+        "symbols_per_sec": round(B * turbo.n_data_symbols / dtxt, 1)}
+
     out["fused_vs_xla_gap_ms"] = round(
         out["hicap_xla"]["step_ms"] - out["hicap_fused"]["step_ms"], 3)
+    out["loaded_split_gain_ms"] = round(
+        out["hicap_loaded_xla"]["step_ms"]
+        - out["hicap_loaded_split"]["step_ms"], 3)
+    out["turbo_split_gain_ms"] = round(
+        out["turbo_xla"]["step_ms"] - out["turbo_split"]["step_ms"], 3)
     print(json.dumps(out))
+    from pathlib import Path
+    Path(__file__).with_name("bench_loaded.json").write_text(
+        json.dumps(out, indent=1) + "\n")
 
 
 if __name__ == "__main__":
