@@ -583,18 +583,28 @@ class Modem:
         """CP-stripped symbol matrix → equalized, phase-tracked data symbols.
 
         syms: (..., K+D, n_fft) → (data (..., D, n_data_bins) complex,
-        nv_eff (..., n_data_bins), (H, noise_var, slope, cpe)). The XLA
-        (non-Pallas) receive tail, shared by `_demod_syms` and
-        `equalized_symbols`. `delta` routes to the δ-warped DFT demod;
-        `roll` derotates a block-grid cut misalignment."""
+        nv_eff (..., n_data_bins), (H, noise_var, slope, cpe, isi_var,
+        isi_ratio)). The XLA (non-Pallas) receive tail, shared by
+        `_demod_syms` and `equalized_symbols`. `delta` routes to the
+        δ-warped DFT demod; `roll` derotates a block-grid cut misalignment."""
         from ..ops.ofdm import ofdm_dft
+
+        cfg = self.cfg
+        Y = self._deroll(ofdm_dft(cfg, syms, delta), roll)
+        H, noise_var, isi = estimate_channel(
+            cfg, Y[..., : cfg.n_known_symbols, :], delta, with_isi=True)
+        data, nv_eff, (slope, cpe) = self._eq_tail(Y, H, noise_var)
+        return data, nv_eff, (H, noise_var, slope, cpe, *isi)
+
+    def _eq_tail(self, Y: jnp.ndarray, H: jnp.ndarray, noise_var):
+        """Post-estimate XLA tail: equalize, pilot phase tracking, per-bin
+        effective noise. Y: (..., K+D, n_used) complex → (data, nv_eff,
+        (slope, cpe)). Split out of `_eq_syms` so the decision-directed
+        retry (`_demod_syms_dd`) can re-run it with a refined Ĥ."""
         from .frame import split_pilots
 
         cfg = self.cfg
         lay = layout(cfg)
-        Y = self._deroll(ofdm_dft(cfg, syms, delta), roll)
-        H, noise_var, isi = estimate_channel(
-            cfg, Y[..., : cfg.n_known_symbols, :], delta, with_isi=True)
         eq = equalize(H, Y[..., cfg.n_known_symbols:, :])
         eq, slope, cpe = pilot_phase_correct(cfg, eq, H)
         pil, data = split_pilots(cfg, eq)                      # (..., D, n_data_bins)
@@ -618,7 +628,7 @@ class Modem:
                                       (*noise_var.shape, cfg.n_data_symbols))
         _, inv_csi = split_pilots(cfg, 1.0 / jnp.maximum(csi, 1e-12))
         nv_eff = nv_sym[..., None] * inv_csi[..., None, :]     # (..., D, n_data_bins)
-        return data, nv_eff, (H, noise_var, slope, cpe, *isi)
+        return data, nv_eff, (slope, cpe)
 
     def equalized_symbols(self, rx: np.ndarray, start: Optional[int] = None) -> np.ndarray:
         """Host API for constellation plots/analysis: the equalized,
@@ -834,21 +844,68 @@ class Modem:
                               isi_r.reshape(lead))
         data, nv_eff, (H, noise_var, slope, cpe, isi_var, isi_ratio) = \
             self._eq_syms(syms, delta, roll)
+        llr, evm, mabs, _ = self._xla_demap(data, nv_eff, lead)
+        return llr, (H, noise_var, slope, cpe, evm, mabs, isi_var, isi_ratio)
+
+    def _xla_demap(self, data: jnp.ndarray, nv_eff: jnp.ndarray, lead: tuple):
+        """XLA-tail demap of equalized data bins → (llr (..., raw_bits),
+        evm, mean_abs_llr, Xd — the hard-decision data-bin SYMBOLS, which
+        the decision-directed retry re-references Ĥ against)."""
+        cfg = self.cfg
         if cfg.bit_loading is not None:
-            from .frame import loaded_demap_llr
+            from .frame import loaded_demap_llr, loaded_qam_map
             llr2, evm = loaded_demap_llr(cfg, data, nv_eff)   # (..., D, R)
             llr = llr2.reshape(*lead, cfg.raw_bits_per_frame)
             mabs = jnp.mean(jnp.abs(llr), axis=-1)
-            return llr, (H, noise_var, slope, cpe, evm, mabs,
-                         isi_var, isi_ratio)
+            Xd = loaded_qam_map(cfg, hard_bits(llr2))
+            return llr, evm, mabs, Xd
         llr3 = qam_demap_llr(
             data, jnp.broadcast_to(nv_eff, data.shape), cfg.bits_per_symbol
         )
-        hard = hard_bits(llr3)
-        evm = jnp.mean(jnp.abs(data - qam_map(hard, cfg.bits_per_symbol)) ** 2, axis=(-2, -1))
+        Xd = qam_map(hard_bits(llr3), cfg.bits_per_symbol)
+        evm = jnp.mean(jnp.abs(data - Xd) ** 2, axis=(-2, -1))
         llr = llr3.reshape(*lead, cfg.raw_bits_per_frame)
         mabs = jnp.mean(jnp.abs(llr), axis=-1)
-        return llr, (H, noise_var, slope, cpe, evm, mabs, isi_var, isi_ratio)
+        return llr, evm, mabs, Xd
+
+    def _demod_syms_dd(self, syms: jnp.ndarray, delta=None, roll=None):
+        """Two-pass DECISION-DIRECTED demod (XLA tail) — the CRC-failure
+        retry path (SURVEY.md §6.3 recovery): re-estimate Ĥ from ALL D
+        data symbols' first-pass hard decisions (pilots exact, decisions
+        mostly right near the cliff), blended with the known-symbol
+        estimate by observation count, then demap again. Attacks
+        ESTIMATION error — which in a beyond-CP room carries the tail's
+        corruption — not the per-symbol ISI itself (that fold measured as
+        a non-lever, docs/ROBUSTNESS.md). Measured (tools/
+        dd_room_check.json, 24 trials, 30 dB, DRR 0 dB): gf3-hicap at
+        rt60 = 20 ms FER 0.667 → 0.375; AWGN cells unchanged; gf3 at
+        rt60 = 40 ms slightly WORSE standalone (0.458 → 0.542 — decision
+        feedback below the cliff), which is why this runs only as a retry
+        on frames the standard pass already failed: the retry composition
+        is ≤ the standard FER by construction."""
+        from ..ops.ofdm import ofdm_dft
+        from .frame import interleave_pilots
+
+        cfg = self.cfg
+        lead = syms.shape[:-2]
+        K, D = cfg.n_known_symbols, cfg.n_data_symbols
+        Y = self._deroll(ofdm_dft(cfg, syms, delta), roll)
+        H, noise_var, isi = estimate_channel(
+            cfg, Y[..., :K, :], delta, with_isi=True)
+        data, nv_eff, (slope, cpe) = self._eq_tail(Y, H, noise_var)
+        _, _, _, Xd = self._xla_demap(data, nv_eff, lead)
+        # re-derotate the RECEIVED data bins by the measured per-symbol
+        # phase, re-reference against the decided TX bins (pilots exact)
+        kk = jnp.arange(cfg.n_used, dtype=jnp.float32)
+        ph = slope[..., None] * kk + cpe[..., None]          # (..., D, U)
+        Yd = Y[..., K:, :] * jnp.exp(-1j * ph)
+        Xhat = interleave_pilots(cfg, Xd)                    # (..., D, U)
+        H_dd = (jnp.sum(Yd * jnp.conj(Xhat), axis=-2)
+                / jnp.maximum(jnp.sum(jnp.abs(Xhat) ** 2, axis=-2), 1e-12))
+        H2 = (K * H + D * H_dd) / (K + D)
+        data2, nv_eff2, (slope2, cpe2) = self._eq_tail(Y, H2, noise_var)
+        llr, evm, mabs, _ = self._xla_demap(data2, nv_eff2, lead)
+        return llr, (H2, noise_var, slope2, cpe2, evm, mabs, *isi)
 
     def _two_pass_delta(self, syms: jnp.ndarray, sc_win: Optional[jnp.ndarray],
                         roll=None):
@@ -875,11 +932,13 @@ class Modem:
 
     def _demod_synced(self, rx: jnp.ndarray, start: jnp.ndarray,
                       metric: jnp.ndarray,
-                      sfo_correct: bool = False, bounded: bool = False):
+                      sfo_correct: bool = False, bounded: bool = False,
+                      dd: bool = False):
         """Shared decode tail once a frame start is known: cut → demap →
         FEC → DecodeDiag. `sfo_correct` inserts the clock-offset loop
         (SC coarse estimate → warped-DFT demod → slope residual → final
-        warped demod)."""
+        warped demod); `dd` routes through the decision-directed two-pass
+        demod (`_demod_syms_dd` — the CRC-failure retry)."""
         from ..ops.sfo import slope_clock_offset
 
         cfg = self.cfg
@@ -887,8 +946,9 @@ class Modem:
         syms, sc_win, roll = self._cut_frame(rx, start, bounded=bounded)
         delta = (self._two_pass_delta(syms, sc_win, roll)
                  if sfo_correct else None)
+        demod = self._demod_syms_dd if dd else self._demod_syms
         llr_like, (H, nv, slope, cpe, evm, mabs, isi_var, isi_ratio) = \
-            self._demod_syms(syms, delta=delta, roll=roll)
+            demod(syms, delta=delta, roll=roll)
         bits, fec_iters, fec_unsat, llr_hist = self._payload_bits(llr_like, lead)
         # pilot slopes measure the full timing drift (= δ) on warped and
         # unwarped passes alike — no delta offset to add
@@ -909,10 +969,10 @@ class Modem:
         return bits, diag
 
     def demodulate_at(self, rx: jnp.ndarray, start: jnp.ndarray,
-                      sfo_correct: bool = False):
+                      sfo_correct: bool = False, dd: bool = False):
         """Decode with known frame start (loopback paths, BASELINE.json:7)."""
         return self._demod_synced(rx, start, jnp.float32(jnp.inf),
-                                  sfo_correct=sfo_correct)
+                                  sfo_correct=sfo_correct, dd=dd)
 
     def demodulate(self, rx: jnp.ndarray):
         """Full RX stack (SURVEY.md §4.2): sync → FFT → LS est → EQ → pilot
@@ -925,6 +985,17 @@ class Modem:
             self.cfg, rx, self.chirp, search_len=self.max_delay,
             decimate=self._sync_decimate if self.max_delay else 1)
         return self._demod_synced(rx, start, metric,
+                                  bounded=self.max_delay is not None)
+
+    def demodulate_dd(self, rx: jnp.ndarray):
+        """Full RX stack through the decision-directed two-pass demod
+        (`_demod_syms_dd`) — the CRC-failure retry `decode(dd='auto')`
+        dispatches; standalone use is for channels KNOWN to be estimation-
+        limited (see the measured cells in tools/dd_room_check.json)."""
+        start, metric = find_frame_start(
+            self.cfg, rx, self.chirp, search_len=self.max_delay,
+            decimate=self._sync_decimate if self.max_delay else 1)
+        return self._demod_synced(rx, start, metric, dd=True,
                                   bounded=self.max_delay is not None)
 
     def demodulate_sfo(self, rx: jnp.ndarray):
@@ -942,7 +1013,8 @@ class Modem:
         return self._demod_synced(rx, start, metric, sfo_correct=True,
                                   bounded=self.max_delay is not None)
 
-    def demodulate_sc(self, rx: jnp.ndarray, sfo_correct: bool = False):
+    def demodulate_sc(self, rx: jnp.ndarray, sfo_correct: bool = False,
+                      dd: bool = False):
         """RX stack synced by the Schmidl–Cox plateau instead of the chirp —
         the fallback when the chirp is clipped/filtered/collided
         (BASELINE.json:5: sync by BOTH methods). rx: (..., T)."""
@@ -950,7 +1022,7 @@ class Modem:
 
         start, sc_peak = find_frame_start_sc(self.cfg, rx)
         bits, diag = self._demod_synced(rx, start, jnp.float32(jnp.nan),
-                                        sfo_correct=sfo_correct)
+                                        sfo_correct=sfo_correct, dd=dd)
         return bits, diag._replace(sc_metric=sc_peak.astype(jnp.float32))
 
     @staticmethod
@@ -1006,7 +1078,8 @@ class Modem:
                                 bits=bits, diag=diag)
 
     def decode(self, rx: np.ndarray, start: Optional[int] = None,
-               sync: str = "chirp", sfo: str = "auto") -> DecodeResult:
+               sync: str = "chirp", sfo: str = "auto",
+               dd: str = "auto") -> DecodeResult:
         """waveform → DecodeResult. `start` overrides sync (loopback);
         sync='sc' uses Schmidl–Cox timing instead of the chirp.
 
@@ -1014,7 +1087,16 @@ class Modem:
         (see `demodulate_sfo`), honored on every sync path. 'auto'
         (default) retries through it when the plain decode fails CRC or
         reports |clock_ppm| beyond the plain receiver's reliable range
-        (real soundcard pairs drift 50–200 ppm)."""
+        (real soundcard pairs drift 50–200 ppm).
+
+        dd: 'off' | 'auto' | 'on' — decision-directed channel
+        re-estimation (`_demod_syms_dd`). 'auto' (default) retries ONE
+        dd pass when everything else failed CRC and the diagnostics show
+        a measurable channel tail (`isi_db` > −25 — the estimation-limited
+        regime the second pass provably helps, tools/dd_room_check.json);
+        as a failure-path retry it can only add decodes, never lose them.
+        'on' decodes through the dd path directly (sfo correction is not
+        combined with it)."""
         from ..ops.sfo import auto_retry_needed, prefer_retry
 
         if sync not in ("chirp", "sc"):
@@ -1027,6 +1109,18 @@ class Modem:
                 self._jit_cache[name] = jax.jit(fn)
             return self._jit_cache[name]
 
+        if dd == "on":
+            if start is not None:
+                bits, diag = jit_of("at_dd", lambda r, st: self.demodulate_at(
+                    r, st, dd=True))(rx, jnp.int32(start))
+            elif sync == "sc":
+                bits, diag = jit_of(
+                    "sc_dd", functools.partial(self.demodulate_sc,
+                                               dd=True))(rx)
+            else:
+                bits, diag = jit_of("chirp_dd", self.demodulate_dd)(rx)
+            return self._result(np.asarray(bits),
+                                self._host_diag(jax.device_get(diag)))
         if start is not None:
             if correct:
                 bits, diag = jit_of("at_sfo", lambda r, st: self.demodulate_at(
@@ -1044,8 +1138,15 @@ class Modem:
         res = self._result(np.asarray(bits), self._host_diag(jax.device_get(diag)))
         if (sfo == "auto" and self.cfg.use_schmidl_cox
                 and auto_retry_needed(res.crc_ok, res.diag.clock_ppm)):
-            retry = self.decode(rx, start=start, sync=sync, sfo="on")
+            retry = self.decode(rx, start=start, sync=sync, sfo="on",
+                                dd="off")
             if prefer_retry(res.crc_ok, retry.crc_ok):
+                return retry
+        if (dd == "auto" and not res.crc_ok and res.diag is not None
+                and float(np.max(np.asarray(res.diag.isi_db))) > -25.0):
+            retry = self.decode(rx, start=start, sync=sync, sfo="off",
+                                dd="on")
+            if retry.crc_ok:
                 return retry
         return res
 

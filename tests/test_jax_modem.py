@@ -142,3 +142,46 @@ def test_diag_pytree_shapes(modem):
     assert d.pilot_slope.shape == (modem.cfg.n_data_symbols,)
     assert float(d.evm) < 0.05
     assert float(d.noise_var) > 0
+
+
+def test_dd_retry_recovers_room_frame():
+    """Decision-directed retry (r5, decode(dd='auto')): a beyond-CP room
+    frame near the decode cliff (the regime tools/dd_room_check.json
+    measured DD winning in — gf3-hicap rt60=20 ms FER 0.667→0.375) fails
+    the standard pass but decodes through the dd second pass, which
+    re-references Ĥ on the D data symbols' decisions. Clean channels must
+    be unaffected (dd='on' decodes the same payload). Seed 3004 /
+    rt60=24 ms was found by scanning 16 room draws: the standard pass
+    fails CRC, isi_db ≈ 16 (gate > −25 fires), and the DD pass decodes."""
+    from gf3x import Modem, ModemConfig
+    from gf3x.channel import (awgn, delay_gain, multipath,
+                              room_impulse_response)
+
+    cfg = ModemConfig(
+        n_fft=256, cp=64, bin_lo=8, bin_hi=103, pilot_spacing=8,
+        n_known_symbols=2, n_data_symbols=12, chirp_duration=0.02,
+        fec="ldpc", ldpc_z=24, ldpc_iters=10,
+    ).validate()
+    m = Modem(cfg)
+    payload = b"decision directed retry"
+    wav = np.asarray(m.encode(payload, "dd.bin")).astype(np.float64)
+
+    # clean channel: dd='on' decodes the same payload
+    rng = np.random.default_rng(8)
+    rx0 = np.zeros(wav.size + 800, np.float32)
+    rx0[300: 300 + wav.size] = 0.7 * wav.astype(np.float32)
+    rx0 += (rng.standard_normal(rx0.size) * 1e-3).astype(np.float32)
+    r_on = m.decode(rx0, dd="on")
+    assert r_on.crc_ok and r_on.payload == payload
+
+    # beyond-CP room draw where the known-symbol estimate breaks the
+    # standard pass (CP = 64 samples ≈ 1.5 ms; rt60 = 24 ms ≈ 16× CP)
+    rng = np.random.default_rng(3004)
+    x = multipath(wav, room_impulse_response(rng, rt60=0.024, drr_db=0.0))
+    rx = awgn(delay_gain(x, 600, 0.7, total_len=wav.size + 4000),
+              30.0, rng).astype(np.float32)
+    r_std = m.decode(rx, sfo="off", dd="off")
+    assert not r_std.crc_ok          # the standard pass fails this draw
+    assert float(np.max(np.asarray(r_std.diag.isi_db))) > -25.0  # gate fires
+    r_auto = m.decode(rx, sfo="off", dd="auto")
+    assert r_auto.crc_ok and r_auto.payload == payload
