@@ -124,6 +124,17 @@ class Modem:
     Batched device paths: `modulate_frames`, `demodulate` (leading axes free).
     """
 
+    # Route the plain (non-SFO, non-DD) demod through the fused cut+DFT
+    # kernel (ops/pallas/cut_dft.py). OFF by default: the kernel wins the
+    # isolated chain microbench (0.75 vs 0.86 ms, tools/bench_cutdft.json)
+    # but its group-major output pays an XLA relayout to the EQ kernels'
+    # lanes layout that the microbench's sum-reduction consumer let XLA
+    # fuse away — COMPOSED, the route measured +0.25 ms/step at bench
+    # geometry (2.56 vs 2.31 ms, B=1024 scan, 2026-08-19). Flips on when
+    # the kernel emits the lanes layout directly (in progress); parity
+    # keeps both routes bit-identical either way (tools/tpu_parity.py).
+    use_cut_dft = False
+
     def __init__(self, cfg: ModemConfig, max_delay: Optional[int] = None):
         """`max_delay` (static, samples) bounds the frame onset the sync
         searches for — the streaming receiver's case (a frame is known to
@@ -219,14 +230,25 @@ class Modem:
         the CP as timing backoff), so the demod corrects it with one
         post-FFT phase ramp, and the SC metric/clock estimators tolerate it
         via guarded half-windows."""
-        from ..ops.sync import cut_symbols, max_cut_start
+        from ..ops.sync import cut_symbols
+
+        cfg = self.cfg
+        base, S, sc_off, span = self._cut_geom(rx, start, bounded)
+        return cut_symbols(rx, base, S=S, n_fft=cfg.n_fft,
+                           sym_len=cfg.symbol_len, cp=cfg.cp,
+                           body_off=cfg.sc_len, sc_off=sc_off,
+                           block=self._cut_block, max_start_span=span)
+
+    def _cut_geom(self, rx: jnp.ndarray, start: jnp.ndarray, bounded: bool):
+        """Cut geometry shared by `_cut_frame` and `_cut_dft_frame`:
+        (clamped base, symbol count S, sc_off, staging span)."""
+        from ..ops.sync import max_cut_start
 
         cfg = self.cfg
         T = rx.shape[-1]
         S = cfg.n_known_symbols + cfg.n_data_symbols
-        need = S * cfg.symbol_len
+        cut_len = cfg.sc_len + S * cfg.symbol_len
         backoff = cfg.cp // 4
-        cut_len = cfg.sc_len + need
         # the cut reads whole blocks of the recording prefix (zero-copy):
         # clamp the base to the largest start it honors exactly (≈ T −
         # cut_len − one block row; only frames butting the recording end
@@ -244,10 +266,23 @@ class Modem:
         # only (span + window) per group instead of the whole prefix
         span = (self.max_delay + self._cut_block
                 if bounded and self.max_delay is not None else None)
-        return cut_symbols(rx, base, S=S, n_fft=cfg.n_fft,
-                           sym_len=cfg.symbol_len, cp=cfg.cp,
-                           body_off=cfg.sc_len, sc_off=sc_off,
-                           block=self._cut_block, max_start_span=span)
+        return base, S, sc_off, span
+
+    def _cut_dft_frame(self, rx: jnp.ndarray, start: jnp.ndarray,
+                       bounded: bool = False):
+        """Fused cut + used-band DFT (`ops.sync.cut_dft_spectra` — the
+        symbol matrix never round-trips HBM): sync position → (Yl
+        (S, 2, n_used, B) lanes-layout spectra, already DEROLLED, sc_win
+        or None), or None when the kernel can't take the geometry (the
+        caller then runs `_cut_frame` + the DFT stage as separate
+        passes). Same cut semantics as `_cut_frame`."""
+        from ..ops.sync import cut_dft_spectra
+
+        cfg = self.cfg
+        base, S, sc_off, span = self._cut_geom(rx, start, bounded)
+        return cut_dft_spectra(cfg, rx, base, S=S, body_off=cfg.sc_len,
+                               sc_off=sc_off, block=self._cut_block,
+                               max_start_span=span)
 
     def _sc_of(self, sc_win: Optional[jnp.ndarray], lead: tuple) -> jnp.ndarray:
         """SC-symbol presence metric (≈1 on a frame) from its n_fft window."""
@@ -797,24 +832,14 @@ class Modem:
         to the fused Pallas EQ/demap kernel on TPU, the XLA twin elsewhere.
         `delta` (traced scalar) routes the FFT stage to the δ-warped DFT;
         `roll` derotates a block-grid cut misalignment (cut_symbols)."""
-        from ..ops.ofdm import ofdm_dft
-
         cfg = self.cfg
         lead = syms.shape[:-2]
+        B = int(np.prod(lead)) if lead else 1
         use_split = False
         if use_pallas is None:
-            from ..ops.pallas.fused_eq import fused_shapes_ok
-            from ..utils.device import pallas_ok
-            B = int(np.prod(lead)) if lead else 1
-            on = pallas_ok() and cfg.strided_pilots
-            use_pallas = (on and cfg.bit_loading is None
-                          and fused_shapes_ok(cfg, B))
-            if not use_pallas and on:
-                # the monolithic kernel's VMEM refusals (64-QAM, every
-                # bit-loaded config) route to the two-kernel split before
-                # falling back to the XLA tail
-                from ..ops.pallas.split_eq import split_shapes_ok
-                use_split = split_shapes_ok(cfg, B)
+            route = self._tail_route(B)
+            use_pallas = route == "fused"
+            use_split = route == "split"
         if use_pallas or use_split:
             from ..ops.ofdm import ofdm_dft_lanes
 
@@ -822,30 +847,61 @@ class Modem:
             # the einsum emits the batch-minor layout inside the matmul
             # epilogue; the matmul-then-transpose form measured 0.86 vs
             # 0.56 ms at bench geometry (tools/bench_relayout.py)
-            B = int(np.prod(lead)) if lead else 1
             K = cfg.n_known_symbols
             syms2 = syms.reshape(B, K + cfg.n_data_symbols, cfg.n_fft)
             Yl = self._deroll_lanes(ofdm_dft_lanes(cfg, syms2, delta), roll)
-            # known symbols back to (B, K, U) complex for the (tiny) LS
-            # estimate — K·U·B floats, ~2 % of the plane the old path
-            # transposed
-            Yk = jax.lax.complex(Yl[:K, 0], Yl[:K, 1]).transpose(2, 0, 1)
-            H, noise_var, (isi_v, isi_r) = estimate_channel(
-                cfg, Yk, delta, with_isi=True)
-            h_ri = jnp.stack([H.real, H.imag], axis=0).transpose(0, 2, 1)
-            nv8 = jnp.zeros((8, B), jnp.float32).at[0].set(noise_var)
-            tail = self._fused_tail if use_pallas else self._split_tail
-            # diag tensors restored to the caller's lead shape (the flat-B
-            # views above exist only for the kernels' lanes layout)
-            llr_like, d6 = tail(Yl[K:], h_ri, nv8,
-                                H.reshape(*lead, cfg.n_used),
-                                noise_var.reshape(lead), lead)
-            return llr_like, (*d6, isi_v.reshape(*lead, cfg.n_used),
-                              isi_r.reshape(lead))
+            return self._demod_lanes(Yl, lead, use_pallas, delta)
         data, nv_eff, (H, noise_var, slope, cpe, isi_var, isi_ratio) = \
             self._eq_syms(syms, delta, roll)
         llr, evm, mabs, _ = self._xla_demap(data, nv_eff, lead)
         return llr, (H, noise_var, slope, cpe, evm, mabs, isi_var, isi_ratio)
+
+    def _tail_route(self, B: int) -> str:
+        """Receive-tail routing for a flat batch of B frames: 'fused' (the
+        monolithic Pallas EQ/demap kernel), 'split' (the two-kernel split
+        — the monolithic kernel's VMEM refusals: 64-QAM, every bit-loaded
+        config), or 'xla' (CPU hosts / forced twins / tiny shapes).
+        Measured at QPSK bench geometry the monolithic kernel and the
+        split are within 0.6 % (tools/bench_split_qpsk.json), so each
+        stays where its VMEM fits."""
+        from ..ops.pallas.fused_eq import fused_shapes_ok
+        from ..utils.device import pallas_ok
+
+        cfg = self.cfg
+        on = pallas_ok() and cfg.strided_pilots
+        if on and cfg.bit_loading is None and fused_shapes_ok(cfg, B):
+            return "fused"
+        if on:
+            from ..ops.pallas.split_eq import split_shapes_ok
+            if split_shapes_ok(cfg, B):
+                return "split"
+        return "xla"
+
+    def _demod_lanes(self, Yl: jnp.ndarray, lead: tuple, use_pallas: bool,
+                     delta=None):
+        """Common receive tail from lanes-layout spectra Yl (S, 2, U, B):
+        LS estimate on the known symbols, then the fused or split Pallas
+        EQ/demap kernel. Returns `_demod_syms`'s (llr_like, 8-tuple)
+        contract."""
+        cfg = self.cfg
+        B = int(np.prod(lead)) if lead else 1
+        K = cfg.n_known_symbols
+        # known symbols back to (B, K, U) complex for the (tiny) LS
+        # estimate — K·U·B floats, ~2 % of the plane the old path
+        # transposed
+        Yk = jax.lax.complex(Yl[:K, 0], Yl[:K, 1]).transpose(2, 0, 1)
+        H, noise_var, (isi_v, isi_r) = estimate_channel(
+            cfg, Yk, delta, with_isi=True)
+        h_ri = jnp.stack([H.real, H.imag], axis=0).transpose(0, 2, 1)
+        nv8 = jnp.zeros((8, B), jnp.float32).at[0].set(noise_var)
+        tail = self._fused_tail if use_pallas else self._split_tail
+        # diag tensors restored to the caller's lead shape (the flat-B
+        # views above exist only for the kernels' lanes layout)
+        llr_like, d6 = tail(Yl[K:], h_ri, nv8,
+                            H.reshape(*lead, cfg.n_used),
+                            noise_var.reshape(lead), lead)
+        return llr_like, (*d6, isi_v.reshape(*lead, cfg.n_used),
+                          isi_r.reshape(lead))
 
     def _xla_demap(self, data: jnp.ndarray, nv_eff: jnp.ndarray, lead: tuple):
         """XLA-tail demap of equalized data bins → (llr (..., raw_bits),
@@ -943,12 +999,27 @@ class Modem:
 
         cfg = self.cfg
         lead = rx.shape[:-1]
-        syms, sc_win, roll = self._cut_frame(rx, start, bounded=bounded)
-        delta = (self._two_pass_delta(syms, sc_win, roll)
-                 if sfo_correct else None)
-        demod = self._demod_syms_dd if dd else self._demod_syms
-        llr_like, (H, nv, slope, cpe, evm, mabs, isi_var, isi_ratio) = \
-            demod(syms, delta=delta, roll=roll)
+        out = None
+        if self.use_cut_dft and not sfo_correct and not dd:
+            # fused cut+DFT kernel (ops/pallas/cut_dft.py): the symbol
+            # matrix never round-trips HBM and the cut's staging DMA hides
+            # under the DFT's MXU dots — but only the plain demod consumes
+            # spectra directly; the SFO loop and the decision-directed
+            # retry need the symbol matrix (re-demod at a warped DFT /
+            # refined Ĥ), so they keep the two-stage path
+            route = self._tail_route(int(np.prod(lead)) if lead else 1)
+            if route != "xla":
+                got = self._cut_dft_frame(rx, start, bounded=bounded)
+                if got is not None:
+                    Yl, sc_win = got
+                    out = self._demod_lanes(Yl, lead, route == "fused")
+        if out is None:
+            syms, sc_win, roll = self._cut_frame(rx, start, bounded=bounded)
+            delta = (self._two_pass_delta(syms, sc_win, roll)
+                     if sfo_correct else None)
+            demod = self._demod_syms_dd if dd else self._demod_syms
+            out = demod(syms, delta=delta, roll=roll)
+        llr_like, (H, nv, slope, cpe, evm, mabs, isi_var, isi_ratio) = out
         bits, fec_iters, fec_unsat, llr_hist = self._payload_bits(llr_like, lead)
         # pilot slopes measure the full timing drift (= δ) on warped and
         # unwarped passes alike — no delta offset to add

@@ -377,21 +377,8 @@ def cut_symbols(rx: jnp.ndarray, starts: jnp.ndarray, *, S: int, n_fft: int,
 
     *lead, T = rx.shape
     B = int(np.prod(lead)) if lead else 1
-    need = max(body_off + S * sym_len, (sc_off + n_fft) if sc_off >= 0 else 0)
-    nf = T // block
-    nb = -(-(need + block) // block)
-    nb = -(-nb // 8) * 8
-    # Mosaic vector loads need every extraction offset (q·block + body_off
-    # + s·sym_len + cp, and q·block + sc_off) provably 128-lane-aligned:
-    # true for GF3 geometries (cp 256, sym_len 1280, sc_off 384), false for
-    # tiny-CP configs, which take the XLA fallback below (caught on
-    # hardware by tools/tpu_parity.py — CI's interpret mode never checks)
-    aligned = (block % 128 == 0 and body_off % 128 == 0 and cp % 128 == 0
-               and sym_len % 128 == 0 and (sc_off < 0 or sc_off % 128 == 0))
-    if max_start_span is not None:
-        ws = min(max_start_span // block + 1 + nb, nf)
-    else:
-        ws = nf
+    need, nf, nb, ws, aligned = _cut_plan(
+        T, S, n_fft, sym_len, cp, body_off, sc_off, block, max_start_span)
     # rows per grid step: more rows amortize the ~5 µs/step grid cost and
     # the DMA issue cost (measured 1.42 → 0.9 ms at B=1024), bounded by the
     # staging budget (2 double-buffered (rows, ws·block) f32 slots)
@@ -401,34 +388,148 @@ def cut_symbols(rx: jnp.ndarray, starts: jnp.ndarray, *, S: int, n_fft: int,
     if (pallas_ok() and aligned and rows and nf + 8 - nb >= 0
             and ws >= nb):
         from .pallas.gather_cut import cut_symbols_tpu
-        sflat = jnp.broadcast_to(starts.astype(jnp.int32),
-                                 tuple(lead)).reshape(-1)
-        q = jnp.clip(sflat // block, 0, nf + 8 - nb)
-        # per-group staging base: the group's smallest window block,
-        # clamped so base + ws stays inside the whole-block prefix; rows
-        # beyond the staged span clamp into it (documented above)
-        qb = jnp.min(q.reshape(-1, rows), axis=1)
-        qb = jnp.clip(qb, 0, max(nf - ws, 0))
-        # clamp span-violating rows to a FULLY-staged window so the result
-        # equals this function's output at the clamped start; the 8-block
-        # slack (windows overrunning the staged span read the kernel's zero
-        # tail) is only correct when the span butts the recording prefix
-        # end — there "past the span" and "past the recording" coincide
-        qbr = qb.repeat(rows)
-        slack = jnp.where(qbr >= nf - ws, 8, 0)
-        q = jnp.minimum(q, qbr + (ws - nb) + slack)
+        q, qb, r = _cut_qqb(starts, lead, block, nf, nb, ws, rows)
         syms, scw = cut_symbols_tpu(rx.reshape(-1, T), q, qb, block, S,
                                     n_fft, body_off, sym_len, cp, sc_off,
                                     rows, ws)
         syms = syms.reshape(*lead, S, n_fft)
         scw = scw.reshape(*lead, n_fft) if sc_off >= 0 else None
-        r = jnp.clip(sflat - q * block, 0, block - 1).reshape(tuple(lead))
         return syms, scw, r
     win, r = gather_cut(rx, starts, need, block)
     body = win[..., body_off: body_off + S * sym_len]
     syms = body.reshape(*lead, S, sym_len)[..., cp: cp + n_fft]
     scw = win[..., sc_off: sc_off + n_fft] if sc_off >= 0 else None
     return syms, scw, r
+
+
+def _cut_plan(T: int, S: int, n_fft: int, sym_len: int, cp: int,
+              body_off: int, sc_off: int, block: int,
+              max_start_span: int | None):
+    """Static geometry shared by `cut_symbols` and `cut_dft_spectra`:
+    (need, nf, nb, ws, aligned)."""
+    need = max(body_off + S * sym_len, (sc_off + n_fft) if sc_off >= 0 else 0)
+    nf = T // block
+    nb = -(-(need + block) // block)
+    nb = -(-nb // 8) * 8
+    # Mosaic vector loads need every extraction offset (q·block + body_off
+    # + s·sym_len + cp, and q·block + sc_off) provably 128-lane-aligned:
+    # true for GF3 geometries (cp 256, sym_len 1280, sc_off 384), false for
+    # tiny-CP configs, which take the XLA fallback (caught on hardware by
+    # tools/tpu_parity.py — CI's interpret mode never checks)
+    aligned = (block % 128 == 0 and body_off % 128 == 0 and cp % 128 == 0
+               and sym_len % 128 == 0 and (sc_off < 0 or sc_off % 128 == 0))
+    if max_start_span is not None:
+        ws = min(max_start_span // block + 1 + nb, nf)
+    else:
+        ws = nf
+    return need, nf, nb, ws, aligned
+
+
+def _cut_qqb(starts: jnp.ndarray, lead: list, block: int, nf: int, nb: int,
+             ws: int, rows: int):
+    """Per-row window block q, per-group staging base qb, and the residual
+    roll — the cut kernels' caller contract (see `cut_symbols_tpu`)."""
+    sflat = jnp.broadcast_to(starts.astype(jnp.int32),
+                             tuple(lead)).reshape(-1)
+    q = jnp.clip(sflat // block, 0, nf + 8 - nb)
+    # per-group staging base: the group's smallest window block, clamped so
+    # base + ws stays inside the whole-block prefix; rows beyond the staged
+    # span clamp into it
+    qb = jnp.min(q.reshape(-1, rows), axis=1)
+    qb = jnp.clip(qb, 0, max(nf - ws, 0))
+    # clamp span-violating rows to a FULLY-staged window so the result
+    # equals the unclamped cut at the clamped start; the 8-block slack
+    # (windows overrunning the staged span read the kernel's zero tail) is
+    # only correct when the span butts the recording prefix end — there
+    # "past the span" and "past the recording" coincide
+    qbr = qb.repeat(rows)
+    slack = jnp.where(qbr >= nf - ws, 8, 0)
+    q = jnp.minimum(q, qbr + (ws - nb) + slack)
+    r = jnp.clip(sflat - q * block, 0, block - 1).reshape(tuple(lead))
+    return q, qb, r
+
+
+@functools.lru_cache(maxsize=None)
+def _cut_dft_tables(cfg: ModemConfig):
+    """bf16 hi/lo splits of the used-band DFT tables with the demod scale
+    folded in: (C_hi, C_lo, S_hi, S_lo), each TRANSPOSED to
+    (n_used, n_fft) bf16 — the kernel's A·Bᵀ dot orientation — where
+    C ≈ cos(θ)ᵀ/ofdm_scale and S ≈ −sin(θ)ᵀ/ofdm_scale. The in-kernel
+    bf16x3 dots against these match `ofdm_dft`'s Precision.HIGH matmuls to
+    the shared ~1e-5 floor (ops/pallas/cut_dft.py)."""
+    import ml_dtypes
+
+    from .ofdm import _dft_tables
+
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+    C, Sm = _dft_tables(cfg)
+    inv = np.float32(1.0 / cfg.ofdm_scale)
+    out = []
+    for t in (C.T * inv, -Sm.T * inv):
+        t = np.ascontiguousarray(t)
+        hi = t.astype(bf16)                  # pure host numpy: this cache
+        lo = (t - hi.astype(np.float32)).astype(bf16)  # builds under jit traces
+        out += [hi, lo]
+    return tuple(out)
+
+
+def cut_dft_spectra(cfg: ModemConfig, rx: jnp.ndarray, starts: jnp.ndarray,
+                    *, S: int, body_off: int, sc_off: int, block: int = 128,
+                    max_start_span: int | None = None,
+                    interpret: bool = False):
+    """Fused `cut_symbols` + used-band DFT (ops/pallas/cut_dft.py): the
+    symbol matrix never round-trips HBM and the cut's staging DMA overlaps
+    the DFT's MXU dots. Returns (Yl (S, 2, n_used, B) f32 re/im spectra in
+    the EQ kernels' LANES layout, scw (..., n_fft) or None), or None when
+    the geometry can't take the kernel (caller falls back to `cut_symbols`
+    + `ofdm_dft`): unaligned offsets, no viable row grouping,
+    CPU/interpret hosts.
+
+    Yl[s, 0, :, b] + i·Yl[s, 1, :, b] ≈ the DEROLLED
+    ofdm_dft(cfg, syms)[b, s] to the bf16x3 floor — the block-misalignment
+    phase ramp is applied in the kernel epilogue, and the relayout from
+    the kernel's group-major output to lanes is the one XLA transpose pass
+    this chain pays (measured ~0.09 ms at bench geometry)."""
+    from ..utils.device import pallas_ok
+
+    if not (pallas_ok() or interpret):
+        return None
+    *lead, T = rx.shape
+    B = int(np.prod(lead)) if lead else 1
+    need, nf, nb, ws, aligned = _cut_plan(
+        T, S, cfg.n_fft, cfg.symbol_len, cfg.cp, body_off, sc_off, block,
+        max_start_span)
+    n_fft, cp, sym_len, U = cfg.n_fft, cfg.cp, cfg.symbol_len, cfg.n_used
+    Up = -(-U // 128) * 128          # Mosaic lane padding
+    # VMEM estimate per grid step: double-buffered staging + the DFT
+    # operand scratch + bf16 hi/lo copies + resident tables + dot results
+    # + double-buffered output block (+ scw); bigger rows amortize grid
+    # overhead AND widen the MXU dots (rows 8→32 measured 1.10→0.83 ms at
+    # bench geometry), bounded by the kernel's raised scoped-VMEM budget
+    fixed = 4 * n_fft * Up * 2                       # tables
+    def vmem(r):
+        return (fixed
+                + 2 * r * (ws + 8) * block * 4       # staging ×2
+                + S * r * n_fft * (4 + 2 + 2)        # xs f32 + hi/lo bf16
+                + 2 * S * r * Up * 4                 # re/im dots
+                + 2 * S * 2 * r * Up * 4             # out block ×2
+                + 2 * r * n_fft * 4)                 # scw block ×2
+    rows = max((r for r in (32, 16, 8) if B % r == 0
+                and vmem(r) <= 28 << 20), default=0)
+    if not (aligned and rows and nf + 8 - nb >= 0 and ws >= nb):
+        return None
+    from .pallas.cut_dft import cut_dft_tpu
+    q, qb, r = _cut_qqb(starts, lead, block, nf, nb, ws, rows)
+    ygrp, scw = cut_dft_tpu(rx.reshape(-1, T), q, qb,
+                            jnp.reshape(r, (-1,)), _cut_dft_tables(cfg),
+                            block, S, n_fft, body_off, sym_len, cp, sc_off,
+                            rows, ws, cfg.bin_lo, True, interpret)
+    # group-major (B/rows, 2, U, S·rows) → lanes layout (S, 2, U, B):
+    # result lane j of group g is (symbol j // rows, batch g·rows + j % rows)
+    Yl = (ygrp.reshape(B // rows, 2, U, S, rows)
+          .transpose(3, 1, 2, 0, 4).reshape(S, 2, U, B))
+    scw = scw.reshape(*lead, n_fft) if sc_off >= 0 else None
+    return Yl, scw
 
 
 def max_cut_start(T: int, need: int, block: int = 128) -> int:

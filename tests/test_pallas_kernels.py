@@ -275,6 +275,115 @@ def test_cut_symbols_span_staging_matches_xla():
     assert np.array_equal(np.asarray(scw), np.asarray(ref_scw_c))
 
 
+def test_cut_dft_kernel_small_geometry():
+    """The fused cut+DFT kernel (interpret mode, tiny aligned geometry):
+    spectra match a float64 cut+DFT reference to the bf16x3 floor, the
+    group-major output layout maps (group, lane) → (symbol, batch row) as
+    documented, the SC window is sample-exact, and deroll=True applies
+    exactly the e^{+2πik·roll/N} ramp."""
+    import ml_dtypes
+
+    from gf3x.ops.pallas.cut_dft import cut_dft_tpu
+
+    rng = np.random.default_rng(7)
+    block, S, n_fft, cp, U, bin_lo = 128, 3, 512, 128, 72, 5
+    sym_len = n_fft + cp
+    body_off, sc_off = sym_len, 128
+    B, rows = 8, 8
+    T = 4096 + 55                      # ragged tail
+    rx = rng.standard_normal((B, T)).astype(np.float32)
+    q = rng.integers(0, 8, B).astype(np.int32)
+    qb = np.zeros(1, np.int32)
+    roll = rng.integers(0, block, B).astype(np.int32)
+    nf = T // block
+
+    # hand-built (U, n_fft) bf16 hi/lo tables with a folded scale
+    inv = 1.0 / 3.7
+    n = np.arange(n_fft)[None, :].astype(np.float64)
+    k = np.arange(bin_lo, bin_lo + U)[:, None].astype(np.float64)
+    th = 2.0 * np.pi * n * k / n_fft
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+    tabs = []
+    for t64 in (np.cos(th) * inv, -np.sin(th) * inv):
+        t = t64.astype(np.float32)
+        hi = t.astype(bf16)
+        tabs += [hi, (t - hi.astype(np.float32)).astype(bf16)]
+
+    # float64 reference: numpy cut at q·block, then exact DFT
+    Tf = (T // block) * block
+    rxz = np.concatenate([rx[:, :Tf], np.zeros((B, 9 * block), np.float32)], 1)
+    ref = np.zeros((B, S, U), np.complex128)
+    scw_ref = np.zeros((B, n_fft), np.float32)
+    for i in range(B):
+        w = rxz[i, q[i] * block:]
+        for s in range(S):
+            a = body_off + s * sym_len + cp
+            x = w[a: a + n_fft].astype(np.float64)
+            ref[i, s] = ((np.cos(th) @ x) - 1j * (np.sin(th) @ x)) * inv
+        scw_ref[i] = w[sc_off: sc_off + n_fft]
+
+    for deroll in (False, True):
+        ygrp, scw = cut_dft_tpu(
+            jnp.asarray(rx), jnp.asarray(q), jnp.asarray(qb),
+            jnp.asarray(roll), tuple(jnp.asarray(t) for t in tabs), block,
+            S, n_fft, body_off, sym_len, cp, sc_off, rows, nf, bin_lo,
+            deroll, True)
+        assert ygrp.shape == (B // rows, 2, U, S * rows)
+        assert np.array_equal(np.asarray(scw), scw_ref)
+        got = np.asarray(ygrp)
+        # documented layout: lane j of group g is (symbol j // rows,
+        # batch row g·rows + j % rows)
+        Y = (got[:, 0] + 1j * got[:, 1]).reshape(B // rows, U, S, rows)
+        Y = np.transpose(Y, (0, 3, 2, 1)).reshape(B, S, U)
+        want = ref.copy()
+        if deroll:
+            kk = np.arange(bin_lo, bin_lo + U)[None, :]
+            want = want * np.exp(2j * np.pi * kk
+                                 * roll[:, None, None] / n_fft)
+        rel = np.linalg.norm(Y - want) / np.linalg.norm(want)
+        assert rel < 5e-5, (deroll, rel)
+
+
+@pytest.mark.slow
+def test_cut_dft_spectra_wrapper_matches_pair():
+    """`cut_dft_spectra` (interpret mode, real GF3 geometry, span-staged)
+    ≡ the cut_symbols → ofdm_dft_lanes → deroll chain it replaces, in the
+    EQ kernels' lanes layout; CPU hosts without interpret get None (the
+    two-stage fallback)."""
+    from gf3x import GF3_STANDARD as cfg
+    from gf3x.models.modem import Modem
+    from gf3x.ops.ofdm import ofdm_dft_lanes
+    from gf3x.ops.sync import cut_dft_spectra, cut_symbols
+
+    rng = np.random.default_rng(3)
+    modem = Modem(cfg, max_delay=1024 + cfg.cp)
+    B = 8
+    T = cfg.frame_len + 1024
+    rx = rng.standard_normal((B, T)).astype(np.float32)
+    base = (rng.integers(0, 1024, B) + cfg.chirp_len
+            - cfg.cp // 4).astype(np.int32)
+    S = cfg.n_known_symbols + cfg.n_data_symbols
+    sc_off = cfg.cp + cfg.cp // 4 + 64
+    span = modem.max_delay + 128
+
+    assert cut_dft_spectra(cfg, jnp.asarray(rx), jnp.asarray(base), S=S,
+                           body_off=cfg.sc_len, sc_off=sc_off,
+                           max_start_span=span) is None  # CPU: fallback
+
+    Yl, scw = cut_dft_spectra(cfg, jnp.asarray(rx), jnp.asarray(base), S=S,
+                              body_off=cfg.sc_len, sc_off=sc_off,
+                              max_start_span=span, interpret=True)
+    syms, scw_ref, roll = cut_symbols(
+        jnp.asarray(rx), jnp.asarray(base), S=S, n_fft=cfg.n_fft,
+        sym_len=cfg.symbol_len, cp=cfg.cp, body_off=cfg.sc_len,
+        sc_off=sc_off, block=128, max_start_span=span)
+    ref = modem._deroll_lanes(ofdm_dft_lanes(cfg, syms), roll)
+    assert Yl.shape == ref.shape == (S, 2, cfg.n_used, B)
+    rel = float(jnp.linalg.norm(Yl - ref) / jnp.linalg.norm(ref))
+    assert rel < 5e-5, rel
+    assert np.array_equal(np.asarray(scw), np.asarray(scw_ref))
+
+
 @pytest.mark.parametrize("bps", [2, 4, 6])
 def test_stream_row_perm_layout_contract(bps):
     """The plane-major layout contract between the fused kernel and the FEC

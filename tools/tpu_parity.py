@@ -293,6 +293,69 @@ def main() -> int:
               np.array_equal(np.asarray(syms), sref)
               and np.array_equal(np.asarray(scw), scref), "")
 
+    # ---- 4a. fused cut+DFT kernel (ops/pallas/cut_dft.py) vs the
+    # cut_symbols → ofdm_dft → deroll pair it replaces: lanes-layout
+    # spectra within the shared bf16x3 floor, SC window sample-exact, at
+    # the real GF3 geometry in span-staged mode (the bench path)
+    from gf3x.models.modem import Modem as _M
+    from gf3x.ops.ofdm import ofdm_dft_lanes
+    from gf3x.ops.sync import cut_dft_spectra
+
+    cfgF = GF3_STANDARD
+    mF = _M(cfgF, max_delay=4096 + cfgF.cp)
+    mF.use_cut_dft = True              # force the fused route under test
+    SF = cfgF.n_known_symbols + cfgF.n_data_symbols
+    sc_offF = cfgF.cp + cfgF.cp // 4 + block // 2
+    spanF = mF.max_delay + block
+    TF = cfgF.frame_len + 4096
+    rxF = rng.standard_normal((64, TF)).astype(np.float32) * 0.05
+    stF = (rng.integers(0, 4096, 64) + cfgF.chirp_len
+           - cfgF.cp // 4).astype(np.int32)
+
+    def pairF(r, st):
+        syms, scw, roll = cut_symbols(
+            r, st, S=SF, n_fft=cfgF.n_fft, sym_len=cfgF.symbol_len,
+            cp=cfgF.cp, body_off=cfgF.sc_len, sc_off=sc_offF, block=block,
+            max_start_span=spanF)
+        return mF._deroll_lanes(ofdm_dft_lanes(cfgF, syms), roll), scw
+
+    def fusedF(r, st):
+        return cut_dft_spectra(cfgF, r, st, S=SF, body_off=cfgF.sc_len,
+                               sc_off=sc_offF, block=block,
+                               max_start_span=spanF)
+
+    Ya, sca = jax.jit(pairF)(jnp.asarray(rxF), jnp.asarray(stF))
+    Yb, scb = jax.jit(fusedF)(jnp.asarray(rxF), jnp.asarray(stF))
+    relF = float(jnp.linalg.norm(Yb - Ya) / jnp.linalg.norm(Ya))
+    check("cut_dft_spectra", relF < 5e-5
+          and np.array_equal(np.asarray(sca), np.asarray(scb)),
+          f"lanes spectra rel {relF:.2e} (bf16x3 floor), scw exact")
+
+    # full receiver through the fused route vs the two-stage route: the
+    # decoded payload bits must agree bit-exactly AND equal the truth
+    import gf3x.ops.sync as _sync
+    rng2 = np.random.default_rng(23)
+    infoF = rng2.integers(0, 2, (16, cfgF.payload_bits_per_frame),
+                          dtype=np.uint8)
+    wavF = np.asarray(mF._encode_jit(jnp.asarray(infoF)))
+    rxD = np.zeros((16, TF), np.float32)
+    for i in range(16):
+        d = int(rng2.integers(0, 4096))
+        rxD[i, d: d + wavF.shape[-1]] = 0.7 * wavF[i]
+    rxD += (rng2.standard_normal(rxD.shape) * 2e-3).astype(np.float32)
+    bitsN, _ = jax.jit(mF.demodulate)(rxD)            # fused route (default)
+    real_cds = _sync.cut_dft_spectra
+    try:
+        _sync.cut_dft_spectra = lambda *a, **k: None  # force two-stage route
+        mO = _M(cfgF, max_delay=4096 + cfgF.cp)
+        bitsO, _ = jax.jit(mO.demodulate)(rxD)
+    finally:
+        _sync.cut_dft_spectra = real_cds
+    check("cut_dft_decode",
+          np.array_equal(np.asarray(bitsN), np.asarray(bitsO))
+          and np.array_equal(np.asarray(bitsN), infoF),
+          "fused-route decode ≡ two-stage route ≡ truth (16 synced frames)")
+
     # ---- 4b. sharded_decode on a real-TPU mesh with the Pallas kernels
     # ENGAGED (r4 VERDICT item 1a): shard_map gives each shard local
     # shapes, so this exercises NamedSharding + shard_map + compiled
