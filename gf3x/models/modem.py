@@ -130,9 +130,14 @@ class Modem:
     # but its group-major output pays an XLA relayout to the EQ kernels'
     # lanes layout that the microbench's sum-reduction consumer let XLA
     # fuse away — COMPOSED, the route measured +0.25 ms/step at bench
-    # geometry (2.56 vs 2.31 ms, B=1024 scan, 2026-08-19). Flips on when
-    # the kernel emits the lanes layout directly (in progress); parity
-    # keeps both routes bit-identical either way (tools/tpu_parity.py).
+    # geometry (2.56 vs 2.31 ms, B=1024 scan, 2026-08-19). Emitting the
+    # lanes layout from the kernel directly (output-block revisiting,
+    # `lanes_out=True`) was measured too and is WORSE: 3.46 vs 2.38 ms
+    # composed — the revisited (S, 2, U, 128) output block pins ~27 MB of
+    # VMEM across 128//rows grid steps and its per-phase stripe stores
+    # serialize. The two-stage route (cut kernel + XLA DFT einsum) stays
+    # the default; parity keeps both routes bit-identical
+    # (tools/tpu_parity.py forces this one on its fixtures).
     use_cut_dft = False
 
     def __init__(self, cfg: ModemConfig, max_delay: Optional[int] = None):

@@ -59,7 +59,8 @@ def _cut_dft_kernel(q_ref, qb_ref, roll_ref, rxp_ref, ch_ref, cl_ref,
                     sh_ref, sl_ref, out_ref, scw_ref, s0, s1, xs, sem0,
                     sem1, *, block: int, R: int, Wr: int, S: int,
                     n_fft: int, body_off: int, sym_len: int, cp: int,
-                    sc_off: int, U: int, bin_lo: int, deroll: bool):
+                    sc_off: int, U: int, bin_lo: int, deroll: bool,
+                    gpb: int):
     g = pl.program_id(0)
     G = pl.num_programs(0)
 
@@ -153,38 +154,59 @@ def _cut_dft_kernel(q_ref, qb_ref, roll_ref, rxp_ref, ch_ref, cl_ref,
         rolls = jnp.concatenate([rv] * S, axis=1)               # (1, S·R)
         ang = jnp.float32(2.0 * np.pi / n_fft) * k * rolls      # (U, S·R)
         c, s = jnp.cos(ang), jnp.sin(ang)
-        out_ref[0, 0] = re * c - im * s
-        out_ref[0, 1] = im * c + re * s
-    else:
+        re, im = re * c - im * s, im * c + re * s
+    if gpb == 1:
+        # group-major output: one (1, 2, U, S·R) block per grid step
         out_ref[0, 0] = re
         out_ref[0, 1] = im
+    else:
+        # LANES output: `gpb` consecutive grid steps revisit one full
+        # (S, 2, U, gpb·R = 128) block (pallas output-revisit semantics —
+        # the block flushes to HBM when its index g // gpb changes), each
+        # writing its R-lane stripe per symbol at a STATIC lane offset
+        # (one pl.when branch per phase) — full-width HBM writes in the
+        # EQ kernels' layout, no downstream relayout pass
+        phase = jax.lax.rem(g, gpb)
+        for qq in range(gpb):
+            @pl.when(phase == qq)
+            def _(qq=qq):
+                for s in range(S):
+                    out_ref[s, 0, :, qq * R:(qq + 1) * R] = \
+                        re[:, s * R:(s + 1) * R]
+                    out_ref[s, 1, :, qq * R:(qq + 1) * R] = \
+                        im[:, s * R:(s + 1) * R]
 
 
 @functools.partial(
-    jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
+    jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
 def cut_dft_tpu(rxp: jnp.ndarray, q: jnp.ndarray, qb: jnp.ndarray,
                 roll: jnp.ndarray, tables: tuple, block: int, S: int,
                 n_fft: int, body_off: int, sym_len: int, cp: int,
                 sc_off: int, rows: int, ws_blocks: int, bin_lo: int = 0,
-                deroll: bool = False, interpret: bool = False):
+                deroll: bool = False, lanes_out: bool = False,
+                interpret: bool = False):
     """Fused cut + used-band DFT: rxp (B, T) f32, q/qb per
     `cut_symbols_tpu`'s contract (ops/pallas/gather_cut.py:242), tables
     (C_hi, C_lo, S_hi, S_lo) — (U, n_fft) bf16 hi/lo splits of
-    cos(θ)ᵀ/ofdm_scale and −sin(θ)ᵀ/ofdm_scale → (ygrp (B/rows, 2, U,
-    S·rows) f32 re/im spectra in the kernel's group-major layout — result
-    lane j of group g is (symbol j // rows, batch row g·rows + j % rows) —
-    and scw (B, n_fft) f32, or (B, 128) zeros when sc_off < 0).
+    cos(θ)ᵀ/ofdm_scale and −sin(θ)ᵀ/ofdm_scale → (spectra, scw (B, n_fft)
+    f32, or (B, 128) zeros when sc_off < 0).
+
+    Spectra layout: with `lanes_out=False`, ygrp (B/rows, 2, U, S·rows)
+    f32 in the kernel's group-major layout — result lane j of group g is
+    (symbol j // rows, batch row g·rows + j % rows). With `lanes_out=True`
+    (requires B % 128 == 0 and rows dividing 128), the EQ kernels'
+    (S, 2, U, B) LANES layout directly: 128//rows consecutive grid steps
+    revisit one full 128-lane output block, each writing its rows-lane
+    stripe — full-width HBM writes, no downstream relayout pass.
 
     `deroll=True` additionally applies the block-misalignment phase ramp
     e^{+2πik·roll/N} per row (k from `bin_lo`) — the downstream
-    `_deroll_lanes` pass folded into the kernel epilogue, so the consumer
-    is left with a pure relayout to the EQ kernels' (S, 2, U, B) lanes
-    layout. `roll` (B,) int32 is ignored when deroll=False (pass zeros).
+    `_deroll_lanes` pass folded into the kernel epilogue. `roll` (B,)
+    int32 is ignored when deroll=False (pass zeros).
 
-    ygrp[b // rows, 0, :, s·rows + b % rows] + i·ygrp[..1..] equals
-    `ofdm_dft(cfg, cut_symbols(...)[0])[b, s]` (derolled when asked) to
-    the shared bf16x3 floor (~1e-5 rel; different summation order, not
-    bit-identical)."""
+    Spectra equal `ofdm_dft(cfg, cut_symbols(...)[0])` (derolled when
+    asked) to the shared bf16x3 floor (~1e-5 rel; different summation
+    order, not bit-identical)."""
     B, T = rxp.shape
     ch, cl, sh, sl = (jnp.asarray(t) for t in tables)
     U = ch.shape[0]
@@ -192,17 +214,31 @@ def cut_dft_tpu(rxp: jnp.ndarray, q: jnp.ndarray, qb: jnp.ndarray,
     Ws = Wr + 8 * block
     assert B % rows == 0 and Wr <= (T // block) * block
     assert ch.shape == (U, n_fft) and ch.dtype == jnp.bfloat16
+    gpb = 1
+    if lanes_out:
+        assert B % 128 == 0 and 128 % rows == 0, (B, rows)
+        gpb = 128 // rows
     n_sc = n_fft if sc_off >= 0 else 128
     tab_spec = pl.BlockSpec((U, n_fft), lambda g, *_: (0, 0),
                             memory_space=pltpu.VMEM)
+    if lanes_out:
+        y_spec = pl.BlockSpec((S, 2, U, 128),
+                              lambda g, *_, gpb=gpb: (0, 0, 0, g // gpb),
+                              memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((S, 2, U, B), jnp.float32)
+    else:
+        y_spec = pl.BlockSpec((1, 2, U, S * rows),
+                              lambda g, *_: (g, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((B // rows, 2, U, S * rows),
+                                       jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B // rows,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   tab_spec, tab_spec, tab_spec, tab_spec],
         out_specs=(
-            pl.BlockSpec((1, 2, U, S * rows), lambda g, *_: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            y_spec,
             pl.BlockSpec((rows, n_sc), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
         ),
@@ -218,12 +254,9 @@ def cut_dft_tpu(rxp: jnp.ndarray, q: jnp.ndarray, qb: jnp.ndarray,
         functools.partial(_cut_dft_kernel, block=block, R=rows, Wr=Wr, S=S,
                           n_fft=n_fft, body_off=body_off, sym_len=sym_len,
                           cp=cp, sc_off=sc_off, U=U, bin_lo=bin_lo,
-                          deroll=deroll),
+                          deroll=deroll, gpb=gpb),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B // rows, 2, U, S * rows), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_sc), jnp.float32),
-        ),
+        out_shape=(y_shape, jax.ShapeDtypeStruct((B, n_sc), jnp.float32)),
         # the resident tables + staging + dot operands exceed Mosaic's
         # default scoped-VMEM budget at rows ≥ 16; the caller's row choice
         # (ops/sync.py cut_dft_spectra) keeps the true footprint bounded

@@ -501,33 +501,44 @@ def cut_dft_spectra(cfg: ModemConfig, rx: jnp.ndarray, starts: jnp.ndarray,
         max_start_span)
     n_fft, cp, sym_len, U = cfg.n_fft, cfg.cp, cfg.symbol_len, cfg.n_used
     Up = -(-U // 128) * 128          # Mosaic lane padding
+    # lanes_out (the kernel emitting the EQ kernels' (S, 2, U, B) layout
+    # via output-block revisiting) is a MEASURED NON-LEVER composed:
+    # 3.46 vs 2.38 ms/step at bench geometry (2026-08-19) — the revisited
+    # (S, 2, U, 128) block is ~27 MB of VMEM held across 128//rows grid
+    # steps, and the per-phase 32-lane stripe stores serialize against it.
+    # Group-major + the XLA relayout below stays the fused route's layout.
+    lanes_out = False
     # VMEM estimate per grid step: double-buffered staging + the DFT
     # operand scratch + bf16 hi/lo copies + resident tables + dot results
     # + double-buffered output block (+ scw); bigger rows amortize grid
     # overhead AND widen the MXU dots (rows 8→32 measured 1.10→0.83 ms at
     # bench geometry), bounded by the kernel's raised scoped-VMEM budget
     fixed = 4 * n_fft * Up * 2                       # tables
+    out_lanes = 128 if lanes_out else 0
     def vmem(r):
         return (fixed
                 + 2 * r * (ws + 8) * block * 4       # staging ×2
                 + S * r * n_fft * (4 + 2 + 2)        # xs f32 + hi/lo bf16
                 + 2 * S * r * Up * 4                 # re/im dots
-                + 2 * S * 2 * r * Up * 4             # out block ×2
+                + 2 * S * 2 * max(r, out_lanes) * Up * 4  # out block ×2
                 + 2 * r * n_fft * 4)                 # scw block ×2
     rows = max((r for r in (32, 16, 8) if B % r == 0
-                and vmem(r) <= 28 << 20), default=0)
+                and vmem(r) <= 42 << 20), default=0)
     if not (aligned and rows and nf + 8 - nb >= 0 and ws >= nb):
         return None
     from .pallas.cut_dft import cut_dft_tpu
     q, qb, r = _cut_qqb(starts, lead, block, nf, nb, ws, rows)
-    ygrp, scw = cut_dft_tpu(rx.reshape(-1, T), q, qb,
-                            jnp.reshape(r, (-1,)), _cut_dft_tables(cfg),
-                            block, S, n_fft, body_off, sym_len, cp, sc_off,
-                            rows, ws, cfg.bin_lo, True, interpret)
-    # group-major (B/rows, 2, U, S·rows) → lanes layout (S, 2, U, B):
-    # result lane j of group g is (symbol j // rows, batch g·rows + j % rows)
-    Yl = (ygrp.reshape(B // rows, 2, U, S, rows)
-          .transpose(3, 1, 2, 0, 4).reshape(S, 2, U, B))
+    y, scw = cut_dft_tpu(rx.reshape(-1, T), q, qb,
+                         jnp.reshape(r, (-1,)), _cut_dft_tables(cfg),
+                         block, S, n_fft, body_off, sym_len, cp, sc_off,
+                         rows, ws, cfg.bin_lo, True, lanes_out, interpret)
+    if lanes_out:
+        Yl = y                       # already (S, 2, U, B) — no relayout
+    else:
+        # group-major (B/rows, 2, U, S·rows) → lanes layout (S, 2, U, B):
+        # lane j of group g is (symbol j // rows, batch g·rows + j % rows)
+        Yl = (y.reshape(B // rows, 2, U, S, rows)
+              .transpose(3, 1, 2, 0, 4).reshape(S, 2, U, B))
     scw = scw.reshape(*lead, n_fft) if sc_off >= 0 else None
     return Yl, scw
 

@@ -327,7 +327,7 @@ def test_cut_dft_kernel_small_geometry():
             jnp.asarray(rx), jnp.asarray(q), jnp.asarray(qb),
             jnp.asarray(roll), tuple(jnp.asarray(t) for t in tabs), block,
             S, n_fft, body_off, sym_len, cp, sc_off, rows, nf, bin_lo,
-            deroll, True)
+            deroll, False, True)
         assert ygrp.shape == (B // rows, 2, U, S * rows)
         assert np.array_equal(np.asarray(scw), scw_ref)
         got = np.asarray(ygrp)
@@ -342,6 +342,51 @@ def test_cut_dft_kernel_small_geometry():
                                  * roll[:, None, None] / n_fft)
         rel = np.linalg.norm(Y - want) / np.linalg.norm(want)
         assert rel < 5e-5, (deroll, rel)
+
+
+def test_cut_dft_kernel_lanes_output():
+    """`lanes_out=True` (interpret mode): 128 // rows consecutive grid
+    steps revisit one full 128-lane output block, so the kernel emits the
+    EQ kernels' (S, 2, U, B) lanes layout directly — must equal the
+    group-major output relaid out, stripe boundaries included."""
+    import ml_dtypes
+
+    from gf3x.ops.pallas.cut_dft import cut_dft_tpu
+
+    rng = np.random.default_rng(17)
+    block, S, n_fft, cp, U, bin_lo = 128, 3, 256, 128, 48, 2
+    sym_len = n_fft + cp
+    body_off, sc_off = sym_len, 0
+    B, rows = 256, 32                  # gpb = 4, two revisited out blocks
+    T = 3200
+    rx = rng.standard_normal((B, T)).astype(np.float32)
+    q = rng.integers(0, 4, B).astype(np.int32)
+    qb = np.zeros(B // rows, np.int32)
+    roll = rng.integers(0, block, B).astype(np.int32)
+    nf = T // block
+
+    inv = 1.0 / 2.1
+    n = np.arange(n_fft)[None, :].astype(np.float64)
+    k = np.arange(bin_lo, bin_lo + U)[:, None].astype(np.float64)
+    th = 2.0 * np.pi * n * k / n_fft
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+    tabs = []
+    for t64 in (np.cos(th) * inv, -np.sin(th) * inv):
+        t = t64.astype(np.float32)
+        hi = t.astype(bf16)
+        tabs += [hi, (t - hi.astype(np.float32)).astype(bf16)]
+    args = (jnp.asarray(rx), jnp.asarray(q), jnp.asarray(qb),
+            jnp.asarray(roll), tuple(jnp.asarray(t) for t in tabs), block,
+            S, n_fft, body_off, sym_len, cp, sc_off, rows, nf, bin_lo,
+            True)
+
+    ygrp, scw_g = cut_dft_tpu(*args, False, True)     # group-major
+    ylan, scw_l = cut_dft_tpu(*args, True, True)      # lanes
+    assert ylan.shape == (S, 2, U, B)
+    want = (np.asarray(ygrp).reshape(B // rows, 2, U, S, rows)
+            .transpose(3, 1, 2, 0, 4).reshape(S, 2, U, B))
+    assert np.array_equal(np.asarray(ylan), want)
+    assert np.array_equal(np.asarray(scw_l), np.asarray(scw_g))
 
 
 @pytest.mark.slow
